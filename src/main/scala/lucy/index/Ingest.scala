@@ -1,0 +1,67 @@
+package lucy.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import lucy.LucySpec
+import lucy.text.HtmlText
+
+/** Ingest stages of the index build (SURVEY.md §3.1 stages 1–5):
+  * lang filter (PF1) → url dedup (PF2) → text derivation (F1) →
+  * deterministic docId (§8.5) → tokenize (F2).
+  *
+  * All plan nodes are DataFrame built-ins except the two audited UDFs
+  * (extractText, tokenize) mandated by the byte-identity invariant
+  * (SURVEY.md §2.3). The lang filter is pushed to the parquet scan by
+  * Catalyst; dedup is a hash aggregation (partial+final `max_by`), not
+  * a window sort — one shuffle on url, no per-partition global sort,
+  * which is what survives at 10^12 rows.
+  */
+object Ingest {
+
+  /** F1 — byte-identical text per url (BASELINE.json:15). */
+  val extractTextUdf = udf((html: Array[Byte], text: String) => HtmlText.textOf(html, text))
+
+  /** F2 — LucySpec tokenizer (SURVEY.md §8.2). */
+  val tokenizeUdf = udf((text: String) => LucySpec.tokenize(text))
+
+  /** §8.5 — positive-63-bit xxhash64(url, seed 42); Spark's built-in
+    * expression (codegen'd) — XxHash64Spec proves it equals
+    * LucySpec.docIdForUrl used on the driver.
+    */
+  def docIdCol(url: Column): Column = xxhash64(url).bitwiseAND(lit(Long.MaxValue))
+
+  /** pages(url, warc_ts, html, text, lang) →
+    * (docId, url, warc_ts, lang, tokens) — deduped, filtered, tokenized.
+    * Caller persists if it needs more than one pass (IndexBuilder does).
+    */
+  def cleanPages(pages: DataFrame, lang: Option[String] = Some("en")): DataFrame = {
+    val filtered = lang.fold(pages)(l => pages.filter(col("lang") === l))
+    // PF2: latest warc_ts per url wins. max_by keeps partial aggregation
+    // (map-side combine) — strictly cheaper than a row_number window,
+    // which would sort entire shuffle partitions.
+    val deduped = filtered
+      .groupBy(col("url"))
+      .agg(max_by(struct(col("warc_ts"), col("html"), col("text"), col("lang")), col("warc_ts")).as("r"))
+      .select(col("url"), col("r.warc_ts").as("warc_ts"), col("r.html").as("html"),
+        col("r.text").as("text"), col("r.lang").as("lang"))
+    deduped
+      .withColumn("text", extractTextUdf(col("html"), col("text")))
+      .withColumn("docId", docIdCol(col("url")))
+      .withColumn("tokens", tokenizeUdf(col("text")))
+      // PF3: html dropped as early as possible — column pruning upstream
+      // means it was only ever read for rows whose text was null.
+      .select(col("docId"), col("url"), col("warc_ts"), col("lang"), col("tokens"))
+  }
+
+  /** docmap (SRC2): one row per document, docLen per §8.2. */
+  def docmap(cleaned: DataFrame): DataFrame =
+    cleaned.select(col("docId"), col("url"), col("warc_ts"), col("lang"),
+      size(col("tokens")).as("docLen"))
+
+  /** A1 — (docId, term) → tf. Explode + partial/final hash aggregation. */
+  def termTf(cleaned: DataFrame): DataFrame =
+    cleaned
+      .select(col("docId"), explode(col("tokens")).as("term"))
+      .groupBy(col("docId"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+}

@@ -1,0 +1,40 @@
+package lucy.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics needed by BM25 (SURVEY.md §2.4 A2–A4, A8). */
+case class CorpusStats(n: Long, avgdl: Double)
+
+/** Per-term statistics: document frequency + collection frequency. */
+case class TermStats(term: String, df: Long, cf: Long)
+
+object Stats {
+
+  /** A3 — N and exact avgdl over ALL docs (empty docs included, §8.4). */
+  def corpusStats(docmap: DataFrame): CorpusStats = {
+    val row = docmap.agg(count(lit(1)).as("n"), avg(col("docLen")).as("avgdl")).head()
+    CorpusStats(row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
+  /** A4 — df/cf per term from the unique-(docId,term) tf table. */
+  def termStats(termTf: DataFrame): DataFrame =
+    termTf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** Driver-side lookup for a small set of query terms — one tiny job
+    * with an `isin` pushdown (SURVEY.md §3.2 stage 2).
+    */
+  def lookupTerms(termStatsDf: DataFrame, terms: Seq[String]): Map[String, TermStats] = {
+    if (terms.isEmpty) return Map.empty
+    import org.apache.spark.sql.Row
+    termStatsDf.filter(col("term").isin(terms: _*))
+      .select("term", "df", "cf").collect()
+      .map { case Row(t: String, df: Long, cf: Long) => t -> TermStats(t, df, cf) }
+      .toMap
+  }
+
+  /** A8 — vocabulary size (approximate for metrics display). */
+  def approxVocab(termTf: DataFrame): Long =
+    termTf.agg(approx_count_distinct(col("term")).as("v")).head().getLong(0)
+}
