@@ -1,0 +1,73 @@
+package lucy.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Build-level manifest (SRC4; BASELINE.json:14 "resumable from
+  * checkpoint with per-partition lineage + metrics").
+  */
+case class BuildManifest(
+    fingerprint: String,
+    docs: Long,
+    avgdl: Double,
+    postings: Long,
+    blocks: Long,
+    numPartitions: Int,
+    saltDfThreshold: Long,
+    lang: String,
+    docmapMs: Long,
+    statsMs: Long,
+    segmentsMs: Long,
+    totalMs: Long)
+
+/** Per-partition lineage/metrics row for the segments stage. */
+case class PartitionManifest(partId: Int, blocks: Long, postings: Long,
+                             bytes: Long, terms: Long,
+                             minTermHash: Int, maxTermHash: Int)
+
+/** Manifest IO. Written/read as Spark JSON datasets — no extra JSON
+  * dependency, works on any Hadoop-visible filesystem, and the
+  * _SUCCESS marker from Spark's commit protocol doubles as the
+  * stage-completion flag (SURVEY.md §7.3 item 4: data committed
+  * atomically first, manifest written last; a missing manifest means
+  * the stage re-runs, which is idempotent because every stage output
+  * is a deterministic function of the input).
+  */
+object Manifest {
+
+  def stageDone(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  def writeBuild(spark: SparkSession, indexDir: String, m: BuildManifest): Unit = {
+    import spark.implicits._
+    Seq(m).toDS().coalesce(1).write.mode("overwrite").json(s"$indexDir/meta/build")
+  }
+
+  def readBuild(spark: SparkSession, indexDir: String): Option[BuildManifest] = {
+    if (!stageDone(spark, s"$indexDir/meta/build")) return None
+    import spark.implicits._
+    spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[BuildManifest]].schema)
+      .json(s"$indexDir/meta/build").as[BuildManifest]
+      .collect().headOption
+  }
+
+  /** Per-partition metrics derived from the committed segments — one
+    * tiny aggregation job over block metadata columns only (column
+    * pruning skips the payload bytes).
+    */
+  def partitionManifests(segments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    segments.groupBy(col("partId"))
+      .agg(count(lit(1)).as("blocks"),
+        sum(col("count")).as("postings"),
+        sum(length(col("docsVarint")) + length(col("tfsVarint")) + length(col("dlsVarint"))).as("bytes"),
+        count_distinct(col("term")).as("terms"),
+        min(col("termHash")).as("minTermHash"),
+        max(col("termHash")).as("maxTermHash"))
+      .withColumnRenamed("partId", "partId")
+  }
+}

@@ -1,0 +1,114 @@
+package lucy.index
+
+import lucy.LucySpec
+
+/** One compressed postings block (LucySpec §8.3, SURVEY.md §1.2).
+  *
+  * Blocks of up to LucySpec.blockSize (128) docs per (term, salt), docIds
+  * strictly ascending. The sorted sequence of block rows per term IS the
+  * skip list: (firstDocId, lastDocId) per row lets block-max WAND jump
+  * whole blocks without decoding (SURVEY.md §4.3; Moffat & Zobel
+  * self-skipping [LIT], Ding & Suel block-max [LIT]).
+  *
+  * Encodings (all unsigned LEB128):
+  *  - docsVarint: count−1 gaps (docId_i − docId_{i−1}, each ≥ 1);
+  *    docId₀ = firstDocId from the row itself — no cross-block state.
+  *  - tfsVarint:  count entries, tf−1 in doc order.
+  *  - dlsVarint:  count entries, docLen in doc order (WAND computes
+  *    exact BM25 inside the kernel, so norms travel with the block —
+  *    a driver-side docLen lookup per candidate would not distribute).
+  *
+  * Block-max bound: (maxTf, minDocLen) rather than a baked maxImpact —
+  * impact is monotone ↑ in tf and ↓ in docLen, so
+  * impact(maxTf, minDocLen, avgdl) bounds every doc in the block under
+  * the CURRENT avgdl. A stored impact computed at build-time avgdl
+  * would become an unsafe bound after incremental deltas shift avgdl.
+  *
+  * termHash = murmur3(term, seed 42) (Spark's `hash()`), the range-
+  * partitioning and file-pruning key (BASELINE.json:14).
+  */
+case class PostingBlock(
+    termHash: Int,
+    term: String,
+    salt: Int,
+    blockNo: Int,
+    firstDocId: Long,
+    lastDocId: Long,
+    count: Int,
+    maxTf: Int,
+    minDocLen: Int,
+    docsVarint: Array[Byte],
+    tfsVarint: Array[Byte],
+    dlsVarint: Array[Byte])
+
+/** A decoded block: parallel arrays. */
+final case class DecodedBlock(docIds: Array[Long], tfs: Array[Int], docLens: Array[Int])
+
+/** One persisted segment row = PostingBlock + the partition that wrote
+  * it (lineage). Matches the segments/ parquet schema exactly.
+  */
+case class SegmentRow(termHash: Int, term: String, salt: Int, blockNo: Int,
+                      firstDocId: Long, lastDocId: Long, count: Int,
+                      maxTf: Int, minDocLen: Int,
+                      docsVarint: Array[Byte], tfsVarint: Array[Byte],
+                      dlsVarint: Array[Byte], partId: Int) {
+  def toBlock: PostingBlock = PostingBlock(termHash, term, salt, blockNo,
+    firstDocId, lastDocId, count, maxTf, minDocLen, docsVarint, tfsVarint, dlsVarint)
+}
+
+object PostingBlock {
+
+  /** Pack one (term, salt)'s postings — already sorted by docId — into
+    * block rows. Streaming: consumes the iterator, O(blockSize) memory,
+    * so a head term with 10^9 postings never materializes (the reason
+    * this is NOT collect_list, SURVEY.md §2.4 A5).
+    */
+  def pack(termHash: Int, term: String, salt: Int,
+           postings: Iterator[(Long, Int, Int)]): Iterator[PostingBlock] = {
+    val docIds = new Array[Long](LucySpec.blockSize)
+    val tfs = new Array[Int](LucySpec.blockSize)
+    val dls = new Array[Int](LucySpec.blockSize)
+    var blockNo = 0
+
+    new Iterator[PostingBlock] {
+      def hasNext: Boolean = postings.hasNext
+      def next(): PostingBlock = {
+        var n = 0
+        var maxTf = 0
+        var minDl = Int.MaxValue
+        while (n < LucySpec.blockSize && postings.hasNext) {
+          val (d, tf, dl) = postings.next()
+          require(n == 0 || d > docIds(n - 1),
+            s"postings for ($term,$salt) not strictly ascending at $d")
+          docIds(n) = d; tfs(n) = tf; dls(n) = dl
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          n += 1
+        }
+        val gaps = new Array[Long](n - 1)
+        var i = 1
+        while (i < n) { gaps(i - 1) = docIds(i) - docIds(i - 1); i += 1 }
+        val tfsM1 = new Array[Long](n)
+        val dlsL = new Array[Long](n)
+        i = 0
+        while (i < n) { tfsM1(i) = (tfs(i) - 1).toLong; dlsL(i) = dls(i).toLong; i += 1 }
+        val b = PostingBlock(termHash, term, salt, blockNo,
+          docIds(0), docIds(n - 1), n, maxTf, minDl,
+          Varint.encodeAll(gaps), Varint.encodeAll(tfsM1), Varint.encodeAll(dlsL))
+        blockNo += 1
+        b
+      }
+    }
+  }
+
+  def decode(b: PostingBlock): DecodedBlock = {
+    val docIds = new Array[Long](b.count)
+    docIds(0) = b.firstDocId
+    val gaps = Varint.decodeAll(b.docsVarint, b.count - 1)
+    var i = 1
+    while (i < b.count) { docIds(i) = docIds(i - 1) + gaps(i - 1); i += 1 }
+    val tfs = Varint.decodeAll(b.tfsVarint, b.count).map(v => (v + 1).toInt)
+    val dls = Varint.decodeAll(b.dlsVarint, b.count).map(_.toInt)
+    DecodedBlock(docIds, tfs, dls)
+  }
+}

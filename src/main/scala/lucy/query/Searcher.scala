@@ -1,0 +1,110 @@
+package lucy.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+import lucy.{Hashing, LucySpec}
+import lucy.index.{LucyIndex, PostingBlock, RunIterator, Stats}
+
+/** A segment block row as shuffled to docId buckets (PostingBlock +
+  * routing bucket). */
+private[query] case class BucketedBlock(
+    bucket: Long, termHash: Int, term: String, salt: Int, blockNo: Int,
+    firstDocId: Long, lastDocId: Long, count: Int, maxTf: Int, minDocLen: Int,
+    docsVarint: Array[Byte], tfsVarint: Array[Byte], dlsVarint: Array[Byte]) {
+  def toBlock: PostingBlock = PostingBlock(termHash, term, salt, blockNo,
+    firstDocId, lastDocId, count, maxTf, minDocLen, docsVarint, tfsVarint, dlsVarint)
+}
+
+/** Top-k BM25 over the segment index — entry point 2 (SURVEY.md §3.2).
+  *
+  * Plan shape and why it scales:
+  *
+  *  1. PRUNED SCAN — `termHash isin(...)` is a literal predicate on a
+  *     column the segments are range-partitioned AND sorted by, so
+  *     parquet row-group min/max stats skip everything but the query
+  *     terms' blocks. IO is proportional to the query terms' postings,
+  *     not the corpus.
+  *  2. BUCKET EXCHANGE — the index is term-partitioned, but scoring
+  *     (AND intersection, per-doc Σ) needs all query terms co-located
+  *     per docId. Blocks are routed to fixed arithmetic docId buckets
+  *     (docId/width; docIds are xxhash64 → uniform, so buckets are
+  *     balanced by construction — no sampling, no skew). Only the
+  *     pruned blocks shuffle: for a 4-term query on 10^12 docs this is
+  *     a few GB against a PB-scale index. A block rarely straddles a
+  *     bucket boundary (128 consecutive docIds in a 2^63 space); if it
+  *     does, it is replicated to each overlapped bucket and the kernel
+  *     evaluates only docs with docId/width == bucket — each doc scored
+  *     exactly once.
+  *  3. PER-BUCKET WAND — block-max pruning kernel, O(cursors + k)
+  *     memory, emits ≤k local hits.
+  *  4. GLOBAL TOP-K — orderBy(score DESC, docId ASC).limit(k) plans as
+  *     TakeOrderedAndProjectExec (per-partition heap + driver merge).
+  *
+  * Query-term stats (df per term, N, avgdl) are driver-looked-up (one
+  * tiny pruned job over stats/terms) and broadcast inside QueryPlan.
+  */
+object Searcher {
+
+  def search(spark: SparkSession, index: LucyIndex, query: String,
+             mode: QueryMode.Value = QueryMode.And,
+             k: Int = LucySpec.defaultK): DataFrame = {
+    import spark.implicits._
+    val terms = LucySpec.queryTerms(query)
+    val empty = Seq.empty[ScoredDoc].toDS().toDF("docId", "score", "nTerms")
+    if (terms.isEmpty) return empty
+
+    val stats = index.corpusStats(spark)
+    val dfMap = Stats.lookupTerms(index.termStats(spark), terms.toSeq)
+    // terms absent from the corpus: AND can never match; OR drops them
+    val present = terms.filter(dfMap.contains)
+    if (mode == QueryMode.And && present.length < terms.length) return empty
+    if (present.isEmpty) return empty
+
+    val plan = QueryPlan(present, present.map(dfMap(_).df), stats.n, stats.avgdl,
+      conjunctive = mode == QueryMode.And, k = k)
+    val planB = spark.sparkContext.broadcast(plan)
+
+    val hashes = present.map(t => Hashing.termHash(t).asInstanceOf[Any])
+    val numBuckets = spark.sessionState.conf.numShufflePartitions
+    val width = Long.MaxValue / numBuckets + 1
+
+    val pruned = index.segments(spark)
+      .filter(col("termHash").isin(hashes.toSeq: _*) &&
+        col("term").isin(present.map(_.asInstanceOf[Any]).toSeq: _*))
+
+    val bucketed = pruned
+      .withColumn("bucket",
+        explode(sequence(expr(s"firstDocId div ${width}L"), expr(s"lastDocId div ${width}L"))))
+      .select(col("bucket"), col("termHash"), col("term"), col("salt"), col("blockNo"),
+        col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"), col("minDocLen"),
+        col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("salt"), col("firstDocId"))
+      .as[BucketedBlock]
+
+    val local = bucketed.mapPartitions { rows =>
+      val p = planB.value
+      RunIterator(rows)(_.bucket).flatMap { case (bucket, run) =>
+        // buffer this bucket's pruned blocks, grouped per (term, salt);
+        // rows arrive sorted by (term, salt, firstDocId)
+        val groups = mutable.ArrayBuffer.empty[(Int, Array[PostingBlock])]
+        RunIterator(run)(r => (r.term, r.salt)).foreach { case ((t, _), g) =>
+          val ti = p.termIndex(t)
+          if (ti >= 0) groups += ((ti, g.map(_.toBlock).toArray))
+        }
+        Wand.topK(p, groups, bucket, width)
+      }
+    }
+
+    local.toDF("docId", "score", "nTerms")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** J4 — attach urls for display (tiny isin-filtered broadcast join). */
+  def searchWithUrls(spark: SparkSession, index: LucyIndex, query: String,
+                     mode: QueryMode.Value = QueryMode.And,
+                     k: Int = LucySpec.defaultK): DataFrame =
+    NaiveSearch.withUrls(search(spark, index, query, mode, k), index.docmap(spark))
+}

@@ -1,0 +1,67 @@
+package lucy.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec properties (SURVEY.md §5.2 "unit: codecs") — seeded randomized
+  * roundtrips plus boundary cases.
+  */
+class VarintSpec extends AnyFunSuite {
+
+  test("roundtrip boundary values") {
+    val vals = Array(0L, 1L, 127L, 128L, 129L, 16383L, 16384L,
+      Int.MaxValue.toLong, Long.MaxValue - 1, Long.MaxValue)
+    assert(Varint.decodeAll(Varint.encodeAll(vals), vals.length).sameElements(vals))
+    assert(Varint.sizeOf(0L) === 1)
+    assert(Varint.sizeOf(127L) === 1)
+    assert(Varint.sizeOf(128L) === 2)
+    assert(Varint.sizeOf(Long.MaxValue) === 9)
+  }
+
+  test("roundtrip seeded random longs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(300)
+      val vals = Array.fill(n)(rnd.nextLong() & Long.MaxValue)
+      assert(Varint.decodeAll(Varint.encodeAll(vals), n).sameElements(vals))
+    }
+  }
+
+  test("gap encoding is compact for dense docIds") {
+    val dense = (1000L until 2000L).toArray // gaps of 1
+    val gaps = dense.sliding(2).map(a => a(1) - a(0)).toArray
+    assert(Varint.encodeAll(gaps).length === 999) // 1 byte per gap
+  }
+
+  test("block pack/decode roundtrip across block boundaries") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 127, 128, 129, 256, 1000)) {
+      var docId = 0L
+      val postings = (0 until n).map { _ =>
+        docId += 1 + rnd.nextInt(1 << 20)
+        (docId, 1 + rnd.nextInt(50), 1 + rnd.nextInt(500))
+      }
+      val blocks = PostingBlock.pack(13, "t", 0, postings.iterator).toVector
+      assert(blocks.length === (n + 127) / 128)
+      assert(blocks.map(_.count).sum === n)
+      assert(blocks.head.firstDocId === postings.head._1)
+      assert(blocks.last.lastDocId === postings.last._1)
+      val decoded = blocks.flatMap { b =>
+        val d = PostingBlock.decode(b)
+        assert(d.docIds.head === b.firstDocId)
+        assert(d.docIds.last === b.lastDocId)
+        assert(d.tfs.max <= b.maxTf)
+        assert(d.docLens.min >= b.minDocLen)
+        d.docIds.indices.map(i => (d.docIds(i), d.tfs(i), d.docLens(i)))
+      }
+      assert(decoded === postings.toVector)
+      // blockNo sequential
+      assert(blocks.map(_.blockNo) === blocks.indices.toVector)
+    }
+  }
+
+  test("pack rejects non-ascending docIds") {
+    intercept[IllegalArgumentException] {
+      PostingBlock.pack(0, "t", 0, Iterator((5L, 1, 1), (5L, 1, 1))).toVector
+    }
+  }
+}
