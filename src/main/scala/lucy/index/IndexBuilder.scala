@@ -14,6 +14,22 @@ case class IndexConfig(
     maxSalts: Int = lucy.LucySpec.maxSalts,
     lang: Option[String] = Some("en"))
 
+/** Anything the query path can search: one segment index or a
+  * base+deltas composite (SURVEY.md §2.8 SET3).
+  */
+trait SearchableIndex {
+  /** Segment blocks. MUST carry a `srcPart` column distinguishing
+    * physically independent sub-indexes: blocks of one (term, salt,
+    * srcPart) form a sorted, non-overlapping docId stream (a cursor);
+    * streams from different parts overlap in docId space and must be
+    * separate cursors in the kernel.
+    */
+  def segments(spark: SparkSession): DataFrame
+  def docmap(spark: SparkSession): DataFrame
+  def termStats(spark: SparkSession): DataFrame
+  def corpusStats(spark: SparkSession): CorpusStats
+}
+
 /** On-disk index layout:
   * {{{
   * indexDir/
@@ -27,14 +43,55 @@ case class IndexConfig(
   *   meta/build/      json     BuildManifest (fingerprint, timings) — LAST
   * }}}
   */
-case class LucyIndex(dir: String) {
+case class LucyIndex(dir: String) extends SearchableIndex {
   def docmap(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/docmap")
   def termStats(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/stats/terms")
-  def segments(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/segments")
+  def segments(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/segments").withColumn("srcPart", lit(0))
   def manifest(spark: SparkSession): Option[BuildManifest] = Manifest.readBuild(spark, dir)
   def corpusStats(spark: SparkSession): CorpusStats = {
     val m = manifest(spark).getOrElse(sys.error(s"no build manifest in $dir"))
     CorpusStats(m.docs, m.avgdl)
+  }
+}
+
+/** Query-time union of a base index and delta indexes (SET3).
+  *
+  * Exact when parts are url-disjoint (pure appends). When a url was
+  * recrawled into a delta and not yet compacted: the doc keeps its docId
+  * (hash of url), the kernel scores AT MOST ONE posting per (term, doc)
+  * — cursors of one term are probed first-match — and docmap/corpus
+  * stats take the LATEST version per docId; stale postings of replaced
+  * versions may still match until compaction merges them out
+  * (SURVEY.md §2.9 ST2: the index is additive; dedup happens at
+  * compaction). Compaction restores exact single-index semantics.
+  */
+case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
+  require(parts.nonEmpty, "composite of zero indexes")
+  def segments(spark: SparkSession): DataFrame =
+    parts.zipWithIndex.map { case (p, i) =>
+      p.segments(spark).withColumn("srcPart", lit(i))
+    }.reduce(_ unionByName _)
+  def docmap(spark: SparkSession): DataFrame = {
+    // latest version per docId wins (warc_ts tie → later part wins)
+    val tagged = parts.zipWithIndex.map { case (p, i) =>
+      p.docmap(spark).withColumn("srcIdx", lit(i))
+    }.reduce(_ unionByName _)
+    tagged.groupBy(col("docId"))
+      .agg(max_by(struct(col("url"), col("warc_ts"), col("lang"), col("docLen")),
+        struct(col("warc_ts"), col("srcIdx"))).as("r"))
+      .select(col("docId"), col("r.url").as("url"), col("r.warc_ts").as("warc_ts"),
+        col("r.lang").as("lang"), col("r.docLen").as("docLen"))
+  }
+  def termStats(spark: SparkSession): DataFrame =
+    parts.map(_.termStats(spark)).reduce(_ unionByName _)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+  def corpusStats(spark: SparkSession): CorpusStats = {
+    if (parts.length == 1) return parts.head.corpusStats(spark)
+    val row = docmap(spark)
+      .agg(count(lit(1)).as("n"), avg(col("docLen")).as("avgdl")).head()
+    CorpusStats(row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
   }
 }
 
@@ -66,8 +123,6 @@ object IndexBuilder {
             config: IndexConfig = IndexConfig(),
             fingerprint: String = ""): BuildManifest = {
     val spark = pages.sparkSession
-    val t0 = System.nanoTime()
-
     Manifest.readBuild(spark, indexDir) match {
       case Some(m) if fingerprint.isEmpty || m.fingerprint == fingerprint =>
         return m // complete build already present
@@ -76,21 +131,39 @@ object IndexBuilder {
           s"refusing to overwrite with '$fingerprint' — use a fresh dir")
       case None => ()
     }
-
-    val numPartitions =
-      if (config.numPartitions > 0) config.numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-
     // Stages 1–3; persisted because docmap, stats and segments all
     // consume it. MEMORY_AND_DISK: at cluster scale this is the classic
     // materialize-once tradeoff (tokens ≈ corpus size; spills to disk).
     val cleaned = Ingest.cleanPages(pages, config.lang)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Stage 5 input: (docId, docLen, term) → tf. docLen rides the
+      // groupBy key (functionally dependent on docId) so no docmap join.
+      val termTfDl = cleaned
+        .select(col("docId"), size(col("tokens")).as("docLen"),
+          explode(col("tokens")).as("term"))
+        .groupBy(col("docId"), col("docLen"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      writeIndex(Ingest.docmap(cleaned), termTfDl, indexDir, config, fingerprint)
+    } finally cleaned.unpersist()
+  }
+
+  /** Stages 4–10 from prepared inputs — shared by the batch build and
+    * the compaction path (which feeds merged winners instead of a fresh
+    * ingest, SURVEY.md §3.3 step 4).
+    */
+  def writeIndex(docmapSrc: DataFrame, termTfDl: DataFrame, indexDir: String,
+                 config: IndexConfig, fingerprint: String): BuildManifest = {
+    val spark = docmapSrc.sparkSession
+    val t0 = System.nanoTime()
+    val numPartitions =
+      if (config.numPartitions > 0) config.numPartitions
+      else spark.sessionState.conf.numShufflePartitions
 
     // Stage 4: docmap
     val tDocmap0 = System.nanoTime()
     if (!Manifest.stageDone(spark, s"$indexDir/docmap")) {
-      Ingest.docmap(cleaned).write.mode("overwrite").parquet(s"$indexDir/docmap")
+      docmapSrc.write.mode("overwrite").parquet(s"$indexDir/docmap")
     }
     val docmap = spark.read.parquet(s"$indexDir/docmap")
     val docmapMs = (System.nanoTime() - tDocmap0) / 1000000
@@ -98,18 +171,10 @@ object IndexBuilder {
     // §8.5 collision check: distinct docId must equal distinct url.
     val Array(nDocs, nUrls) =
       docmap.agg(count_distinct(col("docId")), count_distinct(col("url")))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
     require(nDocs == nUrls,
       s"docId collision: $nDocs distinct docIds for $nUrls urls (LucySpec §8.5)")
     val stats = Stats.corpusStats(docmap)
-
-    // Stage 5: (docId, docLen, term) → tf. docLen rides the groupBy key
-    // (functionally dependent on docId) so no docmap join is needed.
-    val termTfDl = cleaned
-      .select(col("docId"), size(col("tokens")).as("docLen"),
-        explode(col("tokens")).as("term"))
-      .groupBy(col("docId"), col("docLen"), col("term"))
-      .agg(count(lit(1)).as("tf"))
 
     // Stage 6: term stats
     val tStats0 = System.nanoTime()
@@ -141,9 +206,7 @@ object IndexBuilder {
 
     val Array(nPostings, nBlocks) =
       segments.agg(sum(col("count")), count(lit(1)))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
-
-    cleaned.unpersist()
+        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
 
     val m = BuildManifest(
       fingerprint = fingerprint,

@@ -4,12 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 import lucy.{Hashing, LucySpec}
-import lucy.index.{LucyIndex, PostingBlock, RunIterator, Stats}
+import lucy.index.{PostingBlock, RunIterator, SearchableIndex, Stats}
 
 /** A segment block row as shuffled to docId buckets (PostingBlock +
   * routing bucket). */
 private[query] case class BucketedBlock(
-    bucket: Long, termHash: Int, term: String, salt: Int, blockNo: Int,
+    bucket: Long, srcPart: Int, termHash: Int, term: String, salt: Int, blockNo: Int,
     firstDocId: Long, lastDocId: Long, count: Int, maxTf: Int, minDocLen: Int,
     docsVarint: Array[Byte], tfsVarint: Array[Byte], dlsVarint: Array[Byte]) {
   def toBlock: PostingBlock = PostingBlock(termHash, term, salt, blockNo,
@@ -46,7 +46,7 @@ private[query] case class BucketedBlock(
   */
 object Searcher {
 
-  def search(spark: SparkSession, index: LucyIndex, query: String,
+  def search(spark: SparkSession, index: SearchableIndex, query: String,
              mode: QueryMode.Value = QueryMode.And,
              k: Int = LucySpec.defaultK): DataFrame = {
     import spark.implicits._
@@ -76,20 +76,23 @@ object Searcher {
     val bucketed = pruned
       .withColumn("bucket",
         explode(sequence(expr(s"firstDocId div ${width}L"), expr(s"lastDocId div ${width}L"))))
-      .select(col("bucket"), col("termHash"), col("term"), col("salt"), col("blockNo"),
-        col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"), col("minDocLen"),
-        col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+      .select(col("bucket"), col("srcPart"), col("termHash"), col("term"), col("salt"),
+        col("blockNo"), col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"),
+        col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
       .repartition(numBuckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("salt"), col("firstDocId"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("salt"), col("srcPart"),
+        col("firstDocId"))
       .as[BucketedBlock]
 
     val local = bucketed.mapPartitions { rows =>
       val p = planB.value
       RunIterator(rows)(_.bucket).flatMap { case (bucket, run) =>
-        // buffer this bucket's pruned blocks, grouped per (term, salt);
-        // rows arrive sorted by (term, salt, firstDocId)
+        // buffer this bucket's pruned blocks, one cursor per (term, salt,
+        // srcPart); rows arrive sorted by (term, salt, srcPart, firstDocId).
+        // srcPart matters: different sub-indexes of a composite overlap in
+        // docId space and must not be concatenated into one stream.
         val groups = mutable.ArrayBuffer.empty[(Int, Array[PostingBlock])]
-        RunIterator(run)(r => (r.term, r.salt)).foreach { case ((t, _), g) =>
+        RunIterator(run)(r => (r.term, r.salt, r.srcPart)).foreach { case ((t, _, _), g) =>
           val ti = p.termIndex(t)
           if (ti >= 0) groups += ((ti, g.map(_.toBlock).toArray))
         }
@@ -103,7 +106,7 @@ object Searcher {
   }
 
   /** J4 — attach urls for display (tiny isin-filtered broadcast join). */
-  def searchWithUrls(spark: SparkSession, index: LucyIndex, query: String,
+  def searchWithUrls(spark: SparkSession, index: SearchableIndex, query: String,
                      mode: QueryMode.Value = QueryMode.And,
                      k: Int = LucySpec.defaultK): DataFrame =
     NaiveSearch.withUrls(search(spark, index, query, mode, k), index.docmap(spark))

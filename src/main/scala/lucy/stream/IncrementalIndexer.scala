@@ -1,0 +1,162 @@
+package lucy.stream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import lucy.index._
+
+/** Incremental index maintenance — entry point 3 (SURVEY.md §3.3).
+  *
+  * lucy.js keeps its inverted index live under IndexedDB put/add/delete
+  * inside the store's transactions; the cluster-scale analog is
+  * Structured Streaming micro-batches appending DELTA indexes next to a
+  * BASE index, unioned at query time and periodically compacted:
+  *
+  * {{{
+  * rootDir/
+  *   base/gen-<G>/        full LucyIndex (gen-0 = initial batch build)
+  *   deltas/delta-<id>/   one LucyIndex per micro-batch
+  *   current/             json pointer {gen, compactedThrough} — LAST
+  * }}}
+  *
+  * Exactly-once: delta dirs are named by batchId; a replayed batch finds
+  * the completed manifest (fingerprint "delta-<id>") and is a no-op —
+  * IndexBuilder's stage checkpoints make a half-written delta resume
+  * instead of duplicating. The `current` pointer is committed last, so a
+  * crash anywhere leaves a consistent view (SURVEY.md §7.3 item 4).
+  *
+  * Watermark/late data (ST2): recrawls of a url landing in a later batch
+  * are additive until compaction, where PF2 (latest warc_ts per url)
+  * picks the winner — late rows are never dropped.
+  */
+object IncrementalIndexer {
+
+  case class CurrentPointer(gen: Long, compactedThrough: Long)
+
+  def start(pagesStream: DataFrame, rootDir: String, checkpointDir: String,
+            config: IndexConfig = IndexConfig()): StreamingQuery =
+    pagesStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        indexBatch(batch, rootDir, id, config)
+      }
+      .start()
+
+  /** One micro-batch → one delta index (idempotent by batchId). */
+  def indexBatch(batch: DataFrame, rootDir: String, batchId: Long,
+                 config: IndexConfig = IndexConfig()): Unit = {
+    if (batch.isEmpty) return
+    IndexBuilder.build(batch, s"$rootDir/deltas/delta-$batchId", config,
+      fingerprint = s"delta-$batchId")
+  }
+
+  /** The searchable view: current base + all completed deltas beyond the
+    * compaction frontier.
+    */
+  def composite(spark: SparkSession, rootDir: String): CompositeIndex = {
+    val cur = readCurrent(spark, rootDir)
+    val base = cur.filter(_.gen >= 0).map(c => LucyIndex(s"$rootDir/base/gen-${c.gen}"))
+    val frontier = cur.map(_.compactedThrough).getOrElse(-1L)
+    val deltas = listDeltas(spark, rootDir)
+      .filter { case (id, _) => id > frontier }
+      .map(_._2)
+    CompositeIndex(base.toSeq ++ deltas)
+  }
+
+  /** Sort-merge compaction (SURVEY.md §2.5 J5, §3.3 step 4): decode all
+    * live parts' postings, keep only each doc's LATEST version (PF2 at
+    * compaction), and re-run the shared index-write stages (range
+    * exchange + sort + streaming re-pack) into base/gen-(G+1). The merge
+    * is the same big sort the batch build uses — Spark's external sorter
+    * does the k-way work, spilling as needed.
+    */
+  def compact(spark: SparkSession, rootDir: String,
+              config: IndexConfig = IndexConfig()): BuildManifest = {
+    import spark.implicits._
+    val cur = readCurrent(spark, rootDir)
+    val gen = cur.map(_.gen).getOrElse(-1L)
+    val frontier = cur.map(_.compactedThrough).getOrElse(-1L)
+    val deltas = listDeltas(spark, rootDir).filter(_._1 > frontier)
+    val parts = (cur.filter(_.gen >= 0).map(c => LucyIndex(s"$rootDir/base/gen-${c.gen}")).toSeq
+      ++ deltas.map(_._2))
+    require(parts.nonEmpty, s"nothing to compact in $rootDir")
+
+    val tagged = parts.zipWithIndex.map { case (p, i) =>
+      p.docmap(spark).withColumn("srcIdx", lit(i))
+    }.reduce(_ unionByName _)
+    // winner version per docId: latest warc_ts, later part breaks ties
+    val winners = tagged.groupBy(col("docId"))
+      .agg(max_by(struct(col("url"), col("warc_ts"), col("lang"), col("docLen"), col("srcIdx")),
+        struct(col("warc_ts"), col("srcIdx"))).as("r"))
+      .select(col("docId"), col("r.url").as("url"), col("r.warc_ts").as("warc_ts"),
+        col("r.lang").as("lang"), col("r.docLen").as("docLen"),
+        col("r.srcIdx").as("winSrc"))
+
+    val postings = parts.zipWithIndex.map { case (p, i) =>
+      p.segments(spark).as[SegmentRow].flatMap { r =>
+        val d = PostingBlock.decode(r.toBlock)
+        d.docIds.indices.iterator.map { j =>
+          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j), i)
+        }
+      }.toDF("term", "docId", "tf", "docLen", "srcIdx")
+    }.reduce(_ unionByName _)
+
+    val kept = postings
+      .join(winners.select(col("docId"), col("winSrc")), Seq("docId"))
+      .filter(col("srcIdx") === col("winSrc"))
+      .select(col("docId"), col("docLen"), col("term"), col("tf"))
+
+    val newGen = gen + 1
+    val maxDelta = deltas.map(_._1).maxOption.getOrElse(frontier)
+    val m = IndexBuilder.writeIndex(winners.drop("winSrc"), kept,
+      s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen")
+    writeCurrent(spark, rootDir, CurrentPointer(newGen, maxDelta)) // pointer LAST
+    m
+  }
+
+  // ---- current-pointer IO (atomic: temp json dir + pointer dir swap is
+  // avoided by writing a tiny overwrite-mode json dataset; readers take
+  // whichever complete _SUCCESS'd version exists) -----------------------
+
+  private def writeCurrent(spark: SparkSession, rootDir: String, c: CurrentPointer): Unit = {
+    import spark.implicits._
+    Seq(c).toDS().coalesce(1).write.mode("overwrite").json(s"$rootDir/current")
+  }
+
+  def readCurrent(spark: SparkSession, rootDir: String): Option[CurrentPointer] = {
+    if (!Manifest.stageDone(spark, s"$rootDir/current")) return None
+    import spark.implicits._
+    spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[CurrentPointer]].schema)
+      .json(s"$rootDir/current").as[CurrentPointer].collect().headOption
+  }
+
+  /** Completed deltas (manifest present), ascending by batch id. */
+  def listDeltas(spark: SparkSession, rootDir: String): Seq[(Long, LucyIndex)] = {
+    val dir = new Path(s"$rootDir/deltas")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("delta-")) None
+        else {
+          val id = name.stripPrefix("delta-").toLong
+          val idx = LucyIndex(st.getPath.toString)
+          if (idx.manifest(spark).isDefined) Some(id -> idx) else None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Bootstrap: promote an initial batch build to base/gen-0. */
+  def bootstrap(pages: DataFrame, rootDir: String,
+                config: IndexConfig = IndexConfig()): BuildManifest = {
+    val spark = pages.sparkSession
+    val m = IndexBuilder.build(pages, s"$rootDir/base/gen-0", config, fingerprint = "gen-0")
+    writeCurrent(spark, rootDir, CurrentPointer(0L, -1L))
+    m
+  }
+}

@@ -1,0 +1,94 @@
+package lucy.stream
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import lucy.SparkFunSuite
+import lucy.fixtures.{Page, PagesGen}
+import lucy.index._
+import lucy.query.{NaiveSearch, QueryMode, Searcher}
+
+/** Streaming increments ≡ batch build (SURVEY.md §5.2 "e2e: streaming"):
+  * 3 micro-batches unioned at query time, then compacted, must match the
+  * single batch build bit-for-bit on query results.
+  */
+class IncrementalSpec extends SparkFunSuite {
+
+  private lazy val tmp = Files.createTempDirectory("lucy-inc").toString
+
+  private val queries = Seq(
+    ("spark shuffle", QueryMode.And, 10),
+    ("index posting", QueryMode.Or, 15),
+    ("wand", QueryMode.Or, 10))
+
+  private def assertBitEqual(a: DataFrame, b: DataFrame, ctx: String): Unit = {
+    val fa = a.collect().map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val fb = b.collect().map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    assert(fa.toSeq === fb.toSeq, ctx)
+  }
+
+  test("3 url-disjoint micro-batches == 1 batch build; compaction preserves") {
+    import spark.implicits._
+    val root = s"$tmp/disjoint"
+    val all = PagesGen.pages(spark, 450)
+
+    // drive via a real streaming query: MemoryStream of doc ordinals
+    val stream = MemoryStream[Long](spark)
+    val pagesStream = stream.toDS().map(PagesGen.page _).toDF()
+    val q = IncrementalIndexer.start(pagesStream, root, s"$root/ckpt")
+    try {
+      stream.addData(0L until 150L: _*); q.processAllAvailable()
+      stream.addData(150L until 300L: _*); q.processAllAvailable()
+      stream.addData(300L until 450L: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(IncrementalIndexer.listDeltas(spark, root).map(_._1) === Seq(0L, 1L, 2L))
+    val composite = IncrementalIndexer.composite(spark, root)
+
+    // reference: naive engine over the full corpus
+    val cleaned = Ingest.cleanPages(all)
+    val (docmap, termTf) = (Ingest.docmap(cleaned), Ingest.termTf(cleaned))
+    val stats = Stats.corpusStats(docmap)
+    assert(composite.corpusStats(spark) === stats)
+    for ((qs, m, k) <- queries) {
+      assertBitEqual(Searcher.search(spark, composite, qs, m, k),
+        NaiveSearch.search(termTf, docmap, stats, qs, m, k), s"pre-compact[$qs]")
+    }
+
+    // compact → single-base composite, same results
+    val cm = IncrementalIndexer.compact(spark, root)
+    assert(cm.docs === stats.n)
+    val after = IncrementalIndexer.composite(spark, root)
+    assert(after.parts.length === 1)
+    for ((qs, m, k) <- queries) {
+      assertBitEqual(Searcher.search(spark, after, qs, m, k),
+        NaiveSearch.search(termTf, docmap, stats, qs, m, k), s"post-compact[$qs]")
+    }
+  }
+
+  test("recrawled urls: compaction keeps the latest version") {
+    import spark.implicits._
+    val root = s"$tmp/recrawl"
+    IncrementalIndexer.bootstrap(PagesGen.pages(spark, 120), root)
+    // batch 0: recrawls of the first 60 docs with a marker token
+    IncrementalIndexer.indexBatch(PagesGen.recrawl(spark, 60, 1000000L), root, 0L)
+    IncrementalIndexer.compact(spark, root)
+    val idx = IncrementalIndexer.composite(spark, root)
+    assert(idx.parts.length === 1)
+
+    // reference: naive over the deduped union (latest warc_ts wins)
+    val union = PagesGen.pages(spark, 120).unionByName(PagesGen.recrawl(spark, 60, 1000000L))
+    val cleaned = Ingest.cleanPages(union)
+    val (docmap, termTf) = (Ingest.docmap(cleaned), Ingest.termTf(cleaned))
+    val stats = Stats.corpusStats(docmap)
+    assert(idx.corpusStats(spark).n === stats.n) // no duplicate docs
+    for ((qs, m, k) <- Seq(("recrawl", QueryMode.Or, 100), ("spark recrawl", QueryMode.And, 10))) {
+      assertBitEqual(Searcher.search(spark, idx, qs, m, k),
+        NaiveSearch.search(termTf, docmap, stats, qs, m, k), s"recrawl[$qs]")
+    }
+    // exactly-once: replaying a batch id is a no-op
+    val before = idx.segments(spark).count()
+    IncrementalIndexer.indexBatch(PagesGen.recrawl(spark, 60, 1000000L), root, 0L)
+    assert(IncrementalIndexer.composite(spark, root).segments(spark).count() === before)
+  }
+}
