@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import lucy.index.{IndexBuilder, IndexConfig, LucyIndex}
+
+/** Shared state for the driver harness: the driver's `documents` table
+  * re-shaped to the engine's pages schema, and a per-sfDir index built
+  * once (resume-aware: a later JVM finds the manifest and skips the
+  * build entirely).
+  */
+object Harness {
+
+  private val cache = scala.collection.concurrent.TrieMap[String, LucyIndex]()
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** documents(doc_id, text, lang, …) → pages(url, warc_ts, html, text, lang). */
+  def documentsAsPages(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      col("doc_id").cast("string").as("url"),
+      timestamp_seconds(col("doc_id")).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("text"),
+      col("lang"))
+
+  /** The engine index over the documents corpus (all langs — the oracle
+    * SQL has no lang filter). Built once per sfDir into a tmp dir keyed
+    * by the dir name; IndexBuilder's manifest makes repeat calls no-ops
+    * across queries AND across JVMs.
+    */
+  def index(spark: SparkSession, sfDir: String): LucyIndex =
+    cache.getOrElseUpdate(sfDir, {
+      val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/lucy-harness/$key"
+      IndexBuilder.build(documentsAsPages(spark, sfDir), dir,
+        IndexConfig(lang = None), fingerprint = sfDir)
+      LucyIndex(dir)
+    })
+}

@@ -1,13 +1,357 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import lucy.LucySpec
+import lucy.index.{Ingest, PostingBlock, SegmentRow}
+import lucy.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import lucy.query.{QueryMode, Searcher}
+
+/** Driver contract (SURVEY.md §3.4): one `queries` entry per implemented
+  * operator, with a DuckDB `oracleSql` twin where the semantics are
+  * SQL-expressible. Column names and types are aligned pairwise —
+  * every aggregate/computed column is explicitly aliased and cast on
+  * BOTH sides; every query is deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: engine BM25 top-10 with urls over the sf0.001 documents
+    * corpus via the full index + WAND path.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val idx = Harness.index(spark, "/root/testdata/sf0.001")
+    Searcher.searchWithUrls(spark, idx, "spark join", QueryMode.Or, 10)
+  }
+
+  // ---- shared SQL fragments (kept in lockstep with LucySpec) -----------
+
+  private val stopList = LucySpec.stopwordsSqlList
+
+  /** LucySpec §8.2 tokenizer over `documents`, as SQL. */
+  private val toksCte =
+    s"""toks AS (
+       |  SELECT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+       |    FROM documents)
+       |  WHERE t <> '' AND length(t) <= 64 AND t NOT IN ($stopList))""".stripMargin
+
+  private val tokenizeTfSql =
+    s"""WITH $toksCte
+       |SELECT doc_id, term, count(*)::BIGINT AS tf
+       |FROM toks GROUP BY doc_id, term
+       |ORDER BY doc_id, term""".stripMargin
+
+  private val docfreqSql =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+       |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  /** Full BM25 in SQL (formula text generated from lucy.query.Bm25 so it
+    * cannot drift from the Column version).
+    */
+  private def bm25Sql(query: String, conjunctive: Boolean, k: Int): String = {
+    val terms = LucySpec.queryTerms(query)
+    val tlist = terms.map(t => s"'$t'").mkString(", ")
+    val addend = lucy.query.Bm25.addendSql("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    val cond = if (conjunctive) s"n_terms = ${terms.length}" else "true"
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |  (SELECT avg(coalesce(dl.dl, 0)) FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl),
+       |q AS (SELECT unnest([$tlist]) AS term),
+       |scored AS (
+       |  SELECT tf.doc_id, sum($addend) AS score, count(*)::BIGINT AS n_terms
+       |  FROM tf JOIN q USING (term) JOIN df ON tf.term = df.term
+       |       JOIN dl USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY tf.doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, score, n_terms FROM scored WHERE $cond
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // ---- Spark-side helpers ----------------------------------------------
+
+  /** Engine search mapped back to doc_id and re-ordered by
+    * (score, doc_id) — the engine tie-breaks on the internal hashed
+    * docId; the oracle can only tie-break on doc_id, so both sides are
+    * presented in doc_id tie-break order. k is chosen per query so no
+    * score tie straddles the cut (verified against the corpus).
+    */
+  private def bm25Query(spark: SparkSession, sfDir: String, q: String,
+                        mode: QueryMode.Value, k: Int): DataFrame = {
+    val idx = Harness.index(spark, sfDir)
+    Searcher.search(spark, idx, q, mode, k)
+      .join(idx.docmap(spark).select(col("docId"), col("url")), Seq("docId"))
+      .select(col("url").cast("long").as("doc_id"), col("score"),
+        col("nTerms").cast("long").as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  private def tokensWithDocId(spark: SparkSession, sfDir: String): DataFrame =
+    Harness.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Ingest.tokenizeUdf(col("text"))).as("term"))
+
+  // ---- the contract maps -----------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- tokenizer / stats over documents --------------------------------
+    "tokenize_tf" -> ((s, dir) =>
+      tokensWithDocId(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("term"))),
+
+    "docfreq" -> ((s, dir) =>
+      tokensWithDocId(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .orderBy(col("term"))),
+
+    "doclen_stats" -> ((s, dir) => {
+      val docs = Harness.documents(s, dir)
+        .withColumn("dl", size(Ingest.tokenizeUdf(col("text"))).cast("long"))
+      val a = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        sum(col("dl")).as("total_tokens"))
+      val v = tokensWithDocId(s, dir).agg(count_distinct(col("term")).as("vocab"))
+      a.crossJoin(v)
+    }),
+
+    // -- the engine itself (index build + WAND), oracle = pure SQL BM25 --
+    "bm25_topk_q1" -> ((s, dir) => bm25Query(s, dir, "spark join", QueryMode.And, 25)),
+    "bm25_topk_q2" -> ((s, dir) => bm25Query(s, dir, "window filter batch", QueryMode.Or, 10)),
+    "bm25_topk_q3" -> ((s, dir) => bm25Query(s, dir, "the data and query", QueryMode.And, 25)),
+
+    // -- index integrity: decoded segments ≡ SQL tf table ----------------
+    "index_postings_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val idx = Harness.index(s, dir)
+      val decoded = idx.segments(s).drop("srcPart").as[SegmentRow].flatMap { r =>
+        val d = PostingBlock.decode(r.toBlock)
+        d.docIds.indices.map(i => (r.term, d.docIds(i), d.tfs(i).toLong))
+      }.toDF("term", "docId", "tf")
+      decoded.join(idx.docmap(s).select(col("docId"), col("url")), Seq("docId"))
+        .select(col("url").cast("long").as("doc_id"), col("term"), col("tf"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    "index_term_stats" -> ((s, dir) =>
+      Harness.index(s, dir).termStats(s)
+        .select(col("term"), col("df"), col("cf")).orderBy(col("term"))),
+
+    // -- windows / dedup over the events stream table --------------------
+    "dedup_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Harness.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "events_hourly" -> ((s, dir) =>
+      Harness.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    // -- dedup family over documents --------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Harness.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshCandidates(Harness.documents(s, dir), n = 3, numPerms = 16,
+        rowsPerBand = 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Harness.documents(s, dir), maxHamming = 3)
+        .orderBy(col("a"), col("b"))),
+
+    // -- text analysis ----------------------------------------------------
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Harness.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("stop_ratio"), 9).as("stop_ratio"), col("predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Harness.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("stop_ratio"), 9).as("stop_ratio"),
+          round(col("alnum_ratio"), 9).as("alnum_ratio"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Harness.documents(s, dir))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("word_tokens").cast("long").as("word_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(
+        TextAnalysis.simhashes(Harness.documents(s, dir)))
+        .select(col("doc_id"), col("fingerprint"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // -- similarity search over embeddings --------------------------------
+    "ann_brute_cosine" -> ((s, dir) => {
+      val emb = Harness.embeddings(s, dir)
+      Similarity.bruteCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_lsh_cosine" -> ((s, dir) => {
+      val emb = Harness.embeddings(s, dir)
+      Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // -- multimodal plumbing ----------------------------------------------
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.withPayload(Harness.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tokenize_tf" -> tokenizeTfSql,
+    "docfreq" -> docfreqSql,
+
+    "doclen_stats" ->
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1)
+         |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |       (SELECT avg(coalesce(dl.dl, 0)) FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl,
+         |       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+         |       (SELECT count(DISTINCT term) FROM toks)::BIGINT AS vocab""".stripMargin,
+
+    "bm25_topk_q1" -> bm25Sql("spark join", conjunctive = true, k = 25),
+    "bm25_topk_q2" -> bm25Sql("window filter batch", conjunctive = false, k = 10),
+    "bm25_topk_q3" -> bm25Sql("the data and query", conjunctive = true, k = 25),
+
+    "index_postings_roundtrip" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, term, count(*)::BIGINT AS tf
+         |FROM toks GROUP BY doc_id, term
+         |ORDER BY doc_id, term""".stripMargin,
+
+    "index_term_stats" -> docfreqSql,
+
+    "dedup_latest" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*)::BIGINT AS n, round(sum(value), 6) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH tl AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |    t -> t <> '' AND length(t) <= 64 AND t NOT IN ($stopList)) AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM tl),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, shared,
+         |       shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+         |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+         |WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '' AND length(x) <= 64) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, x -> x IN ($stopList)))::BIGINT AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 9) AS stop_ratio,
+         |  CASE WHEN n_tokens = 0 THEN 'unknown'
+         |       WHEN n_stop::DOUBLE / n_tokens >= 0.05 THEN 'en'
+         |       ELSE 'unknown' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '' AND length(x) <= 64) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, x -> x IN ($stopList)))::BIGINT AS n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN length(text) > 0
+         |         THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text)
+         |         ELSE 0.0 END AS alnum_ratio,
+         |    least(1.0, n_tokens::DOUBLE / 100.0) AS len_score
+         |  FROM s)
+         |SELECT doc_id, n_tokens, round(stop_ratio, 9) AS stop_ratio,
+         |  round(alnum_ratio, 9) AS alnum_ratio,
+         |  round(0.4 * len_score + 0.3 * least(1.0, stop_ratio * 4.0) + 0.3 * alnum_ratio, 9) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS ws_tokens,
+         |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |    x -> x <> '' AND length(x) <= 64))::BIGINT AS word_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_brute_cosine" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+        |             b.vec_id) AS rank
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |WHERE a.vec_id < 10
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (16 + octet_length(encode(text)) % 64)::BIGINT AS width,
+        |  (16 + (octet_length(encode(text)) // 64) % 64)::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // dedup_minhash_lsh, dedup_simhash, doc_fingerprint, ann_lsh_cosine:
+    // deliberately no oracle — hash-recurrence / LSH semantics are not
+    // SQL-expressible; the driver records rows-only checks (contract in
+    // the stub header) and their correctness is covered by ScalaTest.
+  )
 }

@@ -1,0 +1,109 @@
+package lucy.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import lucy.LucySpec
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  *  - bruteCosineTopK: the exact baseline — broadcast the (small) query
+  *    set against the corpus, cosine via zip_with/aggregate (pure
+  *    Column arithmetic → whole-stage codegen, no UDF), per-query top-k
+  *    via window rank. Corpus side streams: never collected.
+  *  - lshCosineTopK: the scale path — sign-of-random-hyperplane LSH
+  *    (Charikar). Corpus is bucketed by an H-bit code; a query only
+  *    scores candidates sharing a band of its code. Probing multiple
+  *    bands trades recall for cost. At 10^12 rows the bucket join
+  *    replaces the full cross product.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * doubles, left-to-right — mirrors the SQL oracle's formula.
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * queries is expected tiny (broadcast); corpus arbitrary.
+    */
+  def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component h-th plane, d-th
+    * dim — pure function of (seed, h, d), same on every executor.
+    */
+  private def planeComponent(h: Int, d: Int): Double = {
+    val r = LucySpec.rnd(0x51AFE11L + h, d)
+    LucySpec.unitDouble(r) * 2.0 - 1.0
+  }
+
+  /** H-bit sign-LSH code of a vector column (UDF: tight loop over
+    * 64-float arrays beats a 64×H Column expression tree).
+    */
+  def lshCodeUdf(numPlanes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      var code = 0L
+      var h = 0
+      while (h < numPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d) * planeComponent(h, d); d += 1 }
+        if (dot >= 0) code |= (1L << h)
+        h += 1
+      }
+      code
+    })
+
+  /** ANN via banded sign-LSH: corpus bucketed on `bandBits`-wide bands
+    * of the code; a query scores only docs sharing ≥1 band value. Exact
+    * cosine is computed on the candidates, so precision is 1 — only
+    * recall is approximate (more bands → higher recall).
+    */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    numPlanes: Int = 16, bandBits: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val numBands = numPlanes / bandBits
+    val code = lshCodeUdf(numPlanes)
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec), code(col(vecCol)).as("code"))
+        .select(col(id), col(vec),
+          explode(array((0 until numBands).map(bnd =>
+            struct(lit(bnd).as("band"),
+              shiftright(col("code"), bnd * bandBits)
+                .bitwiseAND(lit((1L << bandBits) - 1)).as("bandVal"))): _*)).as("bk"))
+        .select(col(id), col(vec), col("bk.band"), col("bk.bandVal"))
+    val q = broadcast(banded(queries, "query_id", "qvec"))
+    val c = banded(corpus, "neighbor_id", "cvec")
+    val cands = q.join(c, Seq("band", "bandVal"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cosine", cosineCol(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,112 @@
+package lucy.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import lucy.LucySpec
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a narrow map over the corpus — no shuffle, fully
+  * pipelined with the scan, embarrassingly parallel at any scale. Where
+  * possible the logic is pure Column arithmetic (codegen'd + DuckDB-
+  * translatable for the oracle); only fingerprint/simhash use audited
+  * scalar UDFs (order-dependent hashes are not SQL-expressible).
+  */
+object TextAnalysis {
+
+  /** Tokens per LucySpec §8.2 as a Column (for SQL-oracle parity the
+    * same split/filters are mirrored in SparkEntry.oracleSql).
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"),
+      t => t =!= "" && length(t) <= LucySpec.maxTokenLen)
+
+  def tokensNoStop(text: Column): Column =
+    filter(tokensCol(text), t => !t.isin(LucySpec.stopwords.toSeq: _*))
+
+  /** doc → (n_tokens, n_stopwords, stopword_ratio, avg_token_len).
+    * Stopword ratio is the workhorse of both langId and quality.
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(LucySpec.stopwords.toSeq: _*))))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Heuristic language ID: English-stopword density. A real deployment
+    * swaps in per-language stopword tables / char n-gram profiles; the
+    * Spark shape (pure Column arithmetic, one pass) stays the same.
+    */
+  def langId(docs: DataFrame, textCol: String = "text",
+             enThreshold: Double = 0.05): DataFrame =
+    tokenStats(docs, textCol)
+      .withColumn("predicted_lang",
+        when(col("n_tokens") === 0, lit("unknown"))
+          .when(col("stop_ratio") >= enThreshold, lit("en"))
+          .otherwise(lit("unknown")))
+
+  /** Quality score in [0,1]: rewards mid-length docs with a natural
+    * stopword share and penalizes non-alphanumeric noise. Deliberately
+    * simple arithmetic so the DuckDB oracle states the identical
+    * formula.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokenStats(docs, textCol)
+    t.withColumn("alnum_ratio",
+      when(length(col(textCol)) > 0,
+        (length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")).cast("double")) /
+          length(col(textCol)))
+        .otherwise(lit(0.0)))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .withColumn("quality",
+        round(lit(0.4) * col("len_score") +
+          lit(0.3) * least(lit(1.0), col("stop_ratio") * 4.0) +
+          lit(0.3) * col("alnum_ratio"), 9))
+  }
+
+  /** Whitespace tokens vs analyzer tokens (BPE-ish proxy: runs of
+    * letters, runs of digits, or single punctuation marks — the classic
+    * pre-tokenizer regex).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(split(trim(col(textCol)), " +")))
+      .withColumn("word_tokens", size(tokensCol(col(textCol))))
+      .withColumn("bpe_ish_tokens",
+        size(filter(split(lower(col(textCol)), ""), c => c.rlike("[a-z0-9]")))
+          + size(split(trim(col(textCol)), " +"))) // chars + word boundaries proxy
+
+  /** 64-bit rolling polynomial fingerprint over the LucySpec token
+    * stream (order-sensitive, unlike bag-of-words hashes). UDF: the
+    * recurrence h = h*31 + xxh(token) is not expressible in SQL.
+    */
+  val fingerprintUdf = udf((text: String) => {
+    var h = 1125899906842597L // large prime seed
+    LucySpec.tokenize(text).foreach { t =>
+      h = h * 31L + lucy.XxHash64.hashUtf8(t, LucySpec.seed)
+    }
+    h
+  })
+
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", fingerprintUdf(col(textCol)))
+
+  /** 64-bit SimHash over LucySpec unigrams (Charikar 2002 [LIT]):
+    * per bit, sum +1/−1 weighted by tf; sign → bit. Near-duplicate docs
+    * land within small Hamming distance.
+    */
+  val simhashUdf = udf((text: String) => Dedup.simhash64(LucySpec.tokenize(text)))
+
+  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("simhash", simhashUdf(col(textCol)))
+}

@@ -1,0 +1,110 @@
+package lucy.pipeline
+
+import org.apache.spark.sql.functions._
+import lucy.SparkFunSuite
+
+/** Training-data pipeline operators: sketch quality properties that the
+  * SQL oracle can't express — MinHash estimates track true Jaccard,
+  * SimHash Hamming is small exactly for near-dups, LSH ANN achieves
+  * recall against the brute-force baseline.
+  */
+class PipelineSpec extends SparkFunSuite {
+
+  private def docs = {
+    import spark.implicits._
+    // 6 docs: 0/1 near-dups, 2/3 identical, 4/5 unrelated
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "red orange yellow green blue indigo violet"),
+      (5L, "mercury venus earth mars jupiter saturn neptune")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup flags only identical docs") {
+    val r = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r.filter(_._3).map(_._1).toSet === Set(3L))
+    assert(r.find(_._1 == 3L).get._2 === 2L)
+  }
+
+  test("ngram jaccard finds the planted near-dup and identical pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set((0L, 1L), (2L, 3L)))
+    assert(pairs.find(p => p._1 == 2L).get._3 === 1.0)
+  }
+
+  test("minhash LSH surfaces the same candidates with sane estimates") {
+    val cands = Dedup.minhashLshCandidates(docs, n = 3, numPerms = 16, rowsPerBand = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cands.contains((2L, 3L)) && cands((2L, 3L)) === 1.0)
+    assert(cands.contains((0L, 1L)) && cands((0L, 1L)) >= 0.25)
+    assert(!cands.contains((4L, 5L)))
+  }
+
+  test("simhash: identical docs at Hamming 0; near-dups close; determinism") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((2L, 3L)) === 0)
+    // determinism of the sketch itself
+    assert(Dedup.simhash64(Array("a", "b", "c")) === Dedup.simhash64(Array("a", "b", "c")))
+  }
+
+  test("LSH ANN candidates are a subset ranked identically to brute force") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteCosineTopK(emb, queries, k = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshCosineTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine must equal the exact cosine (precision 1)
+    lsh.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(exact => assert(math.abs(c - exact) < 1e-12))
+    }
+    // recall@5 vs brute force top-5, averaged — LSH with 4 bands of 4
+    // bits on random vectors is a weak filter but must find something
+    val bruteTop5 = Similarity.bruteCosineTopK(emb, queries, k = 5)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lshByQ = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteTop5.map { case (q, top) =>
+      lshByQ.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+    }
+    assert(recalls.sum / recalls.size > 0.2, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("multimodal feature extraction: real plumbing, deterministic stub decode") {
+    val feats = Multimodal.extractFeatures(Multimodal.withPayload(docs)).collect()
+    assert(feats.length === 6)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.width === 16 + f.n_bytes % 64)
+      assert(f.height === 16 + (f.n_bytes / 64) % 64)
+      assert(f.histogram.sum === f.n_bytes)
+      assert(f.mean_byte > 0)
+    }
+  }
+
+  test("text analysis: langId and quality respond to content") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the cat sat on the mat and it was happy with this"),
+      (1L, "zzz qqq xxx www vvv"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val lang = TextAnalysis.langId(d).select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(0L) === "en")
+    assert(lang(1L) === "unknown")
+    assert(lang(2L) === "unknown")
+    val q = TextAnalysis.qualityScore(d).select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(0L) > q(2L))
+    val fp = TextAnalysis.fingerprints(d).select("doc_id", "fingerprint").collect()
+    assert(fp.map(_.getLong(1)).distinct.length === 3) // order-sensitive, distinct
+  }
+}
