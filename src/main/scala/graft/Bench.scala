@@ -1,24 +1,112 @@
 package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
 import org.apache.spark.sql.SparkSession
+import lucy.fixtures.PagesGen
+import lucy.index.{IndexBuilder, IndexConfig, LucyIndex}
+import lucy.query.{QueryEngine, QuerySet}
+
+/** Round benchmark (BASELINE.md protocol). Phases:
+  *
+  *  A. index build over a freshly generated pages corpus (the engine's
+  *     headline: docs/sec through dedup → extract → tokenize → tf →
+  *     stats → salt → range sort → pack → write),
+  *  B. the 20-query reference set, sequential (latency) after a warm-up,
+  *  C. the same set driven by 8 concurrent client threads (throughput —
+  *     Spark schedules concurrent jobs; this is the realistic serving
+  *     shape and what the N→4N scaling criterion is measured on),
+  *  D. the 21 harness queries over SPARK_GRAFT_SF_DIR (operator sweep).
+  *
+  * Corpus size defaults by SF dir and is overridable with
+  * SPARK_GRAFT_BENCH_DOCS. Two-parallelism scaling evidence
+  * (BASELINE.json:14, sandbox substitute): run this main with
+  * SPARK_GRAFT_CPUS=8 and =32 on the same inputs — results are recorded
+  * in BENCH/BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.1")) 300000L
+      else if (sfDir.contains("sf0.01")) 60000L
+      else 20000L
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      timings(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Phase A: index build, cold
+    val idxDir = Files.createTempDirectory("lucy-bench").toString + "/idx"
+    val manifest = timed("index_build") {
+      IndexBuilder.build(PagesGen.pages(spark, benchDocs, cpus.toInt * 2), idxDir,
+        IndexConfig(saltDfThreshold = 1L << 16, maxSalts = 16))
+    }
+    val docsPerSec = manifest.docs / timings("index_build")
+
+    // Warm serving engine (pins segments + stats into block-manager cache)
+    val engine = timed("engine_warm") {
+      new QueryEngine(spark, LucyIndex(idxDir)).warm()
+    }
+
+    // Phase B: sequential query latency (1 warm-up pass, then timed)
+    QuerySet.reference.foreach(q => engine.search(q.query, q.mode, q.k).collect())
+    timed("queries_sequential") {
+      QuerySet.reference.foreach { q =>
+        timed(s"q_${q.id}") {
+          engine.search(q.query, q.mode, q.k).collect()
+        }
+      }
+    }
+    val seqQps = QuerySet.reference.size / timings("queries_sequential")
+
+    // Phase C: concurrent throughput, 8 client threads × 5 passes
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val passes = 5
+    timed("queries_concurrent") {
+      val futs = (0 until passes).flatMap(_ => QuerySet.reference).map { q =>
+        Future { engine.search(q.query, q.mode, q.k).collect() }
+      }
+      Await.result(Future.sequence(futs), Duration.Inf)
+    }
+    pool.shutdown()
+    val concQps = (QuerySet.reference.size * passes) / timings("queries_concurrent")
+
+    // Phase D: harness operator sweep over the driver tables
+    timed("harness_total") {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        timed(s"h_$name") {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        }
+      }
+    }
+
+    val total = timings("index_build") + timings("queries_sequential") +
+      timings("queries_concurrent") + timings("harness_total")
+    val qs = timings.map { case (k, v) => s""""$k":${"%.3f".format(v).toDouble}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total).toDouble},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
+      s""""postings":${manifest.postings},"docs_per_sec":${"%.1f".format(docsPerSec).toDouble},""" +
+      s""""qps_sequential":${"%.2f".format(seqQps).toDouble},""" +
+      s""""qps_concurrent":${"%.2f".format(concQps).toDouble}}""")
     spark.stop()
   }
 }

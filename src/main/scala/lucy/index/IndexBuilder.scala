@@ -168,13 +168,15 @@ object IndexBuilder {
     val docmap = spark.read.parquet(s"$indexDir/docmap")
     val docmapMs = (System.nanoTime() - tDocmap0) / 1000000
 
-    // §8.5 collision check: distinct docId must equal distinct url.
-    val Array(nDocs, nUrls) =
-      docmap.agg(count_distinct(col("docId")), count_distinct(col("url")))
-        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
-    require(nDocs == nUrls,
-      s"docId collision: $nDocs distinct docIds for $nUrls urls (LucySpec §8.5)")
-    val stats = Stats.corpusStats(docmap)
+    // One pass over docmap: corpus stats (A3) + the §8.5 collision check
+    // (distinct docId must equal distinct url).
+    val statsRow = docmap.agg(count(lit(1)), avg(col("docLen")),
+      count_distinct(col("docId")), count_distinct(col("url"))).head()
+    val stats = CorpusStats(statsRow.getLong(0),
+      if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1))
+    require(statsRow.getLong(2) == statsRow.getLong(3),
+      s"docId collision: ${statsRow.getLong(2)} distinct docIds for " +
+        s"${statsRow.getLong(3)} urls (LucySpec §8.5)")
 
     // Stage 6: term stats
     val tStats0 = System.nanoTime()
@@ -203,10 +205,12 @@ object IndexBuilder {
       Manifest.partitionManifests(segments)
         .coalesce(1).write.mode("overwrite").json(s"$indexDir/meta/partitions")
     }
-
-    val Array(nPostings, nBlocks) =
-      segments.agg(sum(col("count")), count(lit(1)))
-        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+    // build totals come from the tiny per-partition manifest rows — no
+    // second scan over the segments
+    val partTotals = spark.read.json(s"$indexDir/meta/partitions")
+      .agg(sum(col("postings")), sum(col("blocks"))).head()
+    val nPostings = if (partTotals.isNullAt(0)) 0L else partTotals.getLong(0)
+    val nBlocks = if (partTotals.isNullAt(1)) 0L else partTotals.getLong(1)
 
     val m = BuildManifest(
       fingerprint = fingerprint,

@@ -1,0 +1,54 @@
+package lucy.query
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import lucy.LucySpec
+import lucy.index.{CorpusStats, SearchableIndex, Stats, TermStats}
+
+/** Warm serving handle over an immutable index — the analog of lucy.js's
+  * in-memory live index for a query-serving deployment.
+  *
+  * What "warm" buys per query (measured: ~2s cold → ~0.1–0.3s warm at
+  * 270k docs):
+  *  - corpus stats read once (manifest), not per query;
+  *  - term df lookups cached per term (first query for a term pays one
+  *    tiny pruned job; repeats are map hits);
+  *  - `warm()` pins segments + term stats into the Spark block-manager
+  *    cache (InMemoryRelation) — subsequent scans read columnar batches
+  *    from memory with batch-level stat pruning on termHash instead of
+  *    parquet from disk. Safe because a LucyIndex dir is immutable
+  *    (compaction writes a NEW generation dir).
+  *
+  * Thread-safe; Bench drives it from 8 concurrent client threads.
+  */
+class QueryEngine(spark: SparkSession, index: SearchableIndex) {
+
+  lazy val stats: CorpusStats = index.corpusStats(spark)
+  private val dfCache = TrieMap[String, Option[TermStats]]()
+  // One shared relation per engine: planning against a fresh
+  // spark.read.parquet per query re-lists files and re-reads footers on
+  // the driver, which serializes concurrent clients.
+  private lazy val segmentsDf = index.segments(spark)
+  private lazy val termStatsDf = index.termStats(spark)
+
+  /** Pin index artifacts into executor memory; returns this. */
+  def warm(): this.type = {
+    segmentsDf.cache().count()
+    termStatsDf.cache().count()
+    stats
+    this
+  }
+
+  private def lookup(terms: Seq[String]): Map[String, TermStats] = {
+    val missing = terms.filterNot(dfCache.contains)
+    if (missing.nonEmpty) {
+      val fetched = Stats.lookupTerms(termStatsDf, missing)
+      missing.foreach(t => dfCache.putIfAbsent(t, fetched.get(t)))
+    }
+    terms.flatMap(t => dfCache(t).map(t -> _)).toMap
+  }
+
+  def search(query: String, mode: QueryMode.Value = QueryMode.And,
+             k: Int = LucySpec.defaultK): DataFrame =
+    Searcher.searchWith(spark, segmentsDf, query, mode, k, stats, lookup)
+}

@@ -1,0 +1,40 @@
+package lucy.query
+
+import lucy.LucySpec
+
+/** The frozen 20-query reference set (FIXTURES.md §3): 10 AND + 10 OR
+  * covering single tail/head terms, 2–4 mixed-term queries, stopword-only
+  * and stopword-laden input, duplicate terms, absent terms, punctuation/
+  * case normalization, and k ∈ {1, 10, 100}. Goldens generated from
+  * LucySpec via NaiveSearch live in src/test/resources/golden_queries.json
+  * (SURVEY.md §5.2 rank-identity).
+  */
+object QuerySet {
+
+  case class Q(id: String, query: String, mode: QueryMode.Value, k: Int)
+
+  val reference: Seq[Q] = Seq(
+    Q("and_tail1", "varint", QueryMode.And, 10),
+    Q("and_head1", "spark", QueryMode.And, 10),
+    Q("and_2mixed", "spark varint", QueryMode.And, 10),
+    Q("and_3mixed", "spark shuffle delta", QueryMode.And, 10),
+    Q("and_4terms", "index posting term query", QueryMode.And, 10),
+    Q("and_stoplade", "the spark and shuffle", QueryMode.And, 10),
+    Q("and_dupterms", "spark spark shuffle", QueryMode.And, 10),
+    Q("and_absent", "spark zzzmissing", QueryMode.And, 10),
+    Q("and_k1", "merge sort", QueryMode.And, 1),
+    Q("and_k100", "partition", QueryMode.And, 100),
+    Q("or_tail2", "snippet anchor", QueryMode.Or, 10),
+    Q("or_headstop", "spark the", QueryMode.Or, 10),
+    Q("or_2tail", "wand heap", QueryMode.Or, 10),
+    Q("or_3mixed", "compaction watermark stream", QueryMode.Or, 10),
+    Q("or_4tail", "catalyst codegen tungsten columnar", QueryMode.Or, 10),
+    Q("or_stoponly", "the and of", QueryMode.Or, 10),
+    Q("or_punct", "Spark, SHUFFLE!", QueryMode.Or, 10),
+    Q("or_absent", "zzzmissing qqqnope", QueryMode.Or, 10),
+    Q("or_k1", "pruning", QueryMode.Or, 1),
+    Q("or_k100", "bucket salting skew", QueryMode.Or, 100))
+
+  require(reference.map(_.id).distinct.length == reference.length)
+  require(reference.count(_.mode == QueryMode.And) == 10)
+}

@@ -48,32 +48,92 @@ object Searcher {
 
   def search(spark: SparkSession, index: SearchableIndex, query: String,
              mode: QueryMode.Value = QueryMode.And,
-             k: Int = LucySpec.defaultK): DataFrame = {
+             k: Int = LucySpec.defaultK): DataFrame =
+    searchWith(spark, index.segments(spark), query, mode, k, index.corpusStats(spark),
+      terms => Stats.lookupTerms(index.termStats(spark), terms))
+
+  /** Search with externally supplied plan inputs. QueryEngine passes a
+    * REUSED segments DataFrame and cached stats: re-creating the scan per
+    * query repeats driver-side file listing + footer reads and was the
+    * concurrency bottleneck in serving benchmarks — a warm server plans
+    * against one shared relation.
+    */
+  def searchWith(spark: SparkSession, segments: DataFrame, query: String,
+                 mode: QueryMode.Value, k: Int, stats: lucy.index.CorpusStats,
+                 lookup: Seq[String] => Map[String, lucy.index.TermStats]): DataFrame = {
     import spark.implicits._
     val terms = LucySpec.queryTerms(query)
     val empty = Seq.empty[ScoredDoc].toDS().toDF("docId", "score", "nTerms")
     if (terms.isEmpty) return empty
 
-    val stats = index.corpusStats(spark)
-    val dfMap = Stats.lookupTerms(index.termStats(spark), terms.toSeq)
+    val dfMap = lookup(terms.toSeq)
     // terms absent from the corpus: AND can never match; OR drops them
     val present = terms.filter(dfMap.contains)
     if (mode == QueryMode.And && present.length < terms.length) return empty
     if (present.isEmpty) return empty
 
+    // Tiny immutable plan: captured in the task closure — at <1 KB the
+    // closure IS the broadcast (an explicit torrent broadcast per query
+    // costs more than it saves; "broadcasting query-term stats" at this
+    // size means shipping them with the task).
     val plan = QueryPlan(present, present.map(dfMap(_).df), stats.n, stats.avgdl,
       conjunctive = mode == QueryMode.And, k = k)
-    val planB = spark.sparkContext.broadcast(plan)
 
     val hashes = present.map(t => Hashing.termHash(t).asInstanceOf[Any])
-    val numBuckets = spark.sessionState.conf.numShufflePartitions
-    val width = Long.MaxValue / numBuckets + 1
-
-    val pruned = index.segments(spark)
+    val pruned = segments
       .filter(col("termHash").isin(hashes.toSeq: _*) &&
         col("term").isin(present.map(_.asInstanceOf[Any]).toSeq: _*))
 
-    val bucketed = pruned
+    val local =
+      if (present.length == 1) {
+        // Single-term fast path: no per-doc co-location needed (every
+        // posting scores independently), so skip the bucket exchange and
+        // run the kernel directly on the scan partitions. A stream split
+        // across scan partitions is fine — each sub-stream is sorted and
+        // scored independently.
+        singleTermLocal(spark, pruned, plan)
+      } else {
+        // Bucket count sized to the work: candidates ≤ Σ df(query terms);
+        // aim for ~64k postings per kernel invocation, capped by the
+        // session's shuffle partitions. A fixed large D would pay tens of
+        // idle tasks per query; a fixed small D would bottleneck head
+        // queries at scale.
+        val sumDf = present.map(dfMap(_).df).sum
+        val maxB = spark.sessionState.conf.numShufflePartitions
+        val numBuckets = math.max(1L, math.min(maxB.toLong, sumDf / 65536 + 1)).toInt
+        bucketedLocal(spark, pruned, plan, numBuckets)
+      }
+
+    local.toDF("docId", "score", "nTerms")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  private def singleTermLocal(spark: SparkSession, pruned: DataFrame, plan: QueryPlan) = {
+    import spark.implicits._
+    pruned
+      .withColumn("bucket", lit(0L))
+      .select(col("bucket"), col("srcPart"), col("termHash"), col("term"), col("salt"),
+        col("blockNo"), col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"),
+        col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+      .as[BucketedBlock]
+      .mapPartitions { rows =>
+        val sorted = rows.toArray.sortBy(r => (r.term, r.salt, r.srcPart, r.firstDocId))
+        val cursors = mutable.ArrayBuffer.empty[(Int, Array[PostingBlock])]
+        RunIterator(sorted.iterator)(r => (r.term, r.salt, r.srcPart)).foreach {
+          case ((t, _, _), g) =>
+            val ti = plan.termIndex(t)
+            if (ti >= 0) cursors += ((ti, g.map(_.toBlock).toArray))
+        }
+        Wand.topK(plan, cursors, 0L, Long.MaxValue)
+      }
+  }
+
+  private def bucketedLocal(spark: SparkSession, pruned: DataFrame, plan: QueryPlan,
+                            numBuckets: Int) = {
+    import spark.implicits._
+    val width = Long.MaxValue / numBuckets + 1
+    pruned
       .withColumn("bucket",
         explode(sequence(expr(s"firstDocId div ${width}L"), expr(s"lastDocId div ${width}L"))))
       .select(col("bucket"), col("srcPart"), col("termHash"), col("term"), col("salt"),
@@ -83,26 +143,20 @@ object Searcher {
       .sortWithinPartitions(col("bucket"), col("term"), col("salt"), col("srcPart"),
         col("firstDocId"))
       .as[BucketedBlock]
-
-    val local = bucketed.mapPartitions { rows =>
-      val p = planB.value
-      RunIterator(rows)(_.bucket).flatMap { case (bucket, run) =>
-        // buffer this bucket's pruned blocks, one cursor per (term, salt,
-        // srcPart); rows arrive sorted by (term, salt, srcPart, firstDocId).
-        // srcPart matters: different sub-indexes of a composite overlap in
-        // docId space and must not be concatenated into one stream.
-        val groups = mutable.ArrayBuffer.empty[(Int, Array[PostingBlock])]
-        RunIterator(run)(r => (r.term, r.salt, r.srcPart)).foreach { case ((t, _, _), g) =>
-          val ti = p.termIndex(t)
-          if (ti >= 0) groups += ((ti, g.map(_.toBlock).toArray))
+      .mapPartitions { rows =>
+        RunIterator(rows)(_.bucket).flatMap { case (bucket, run) =>
+          // buffer this bucket's pruned blocks, one cursor per (term, salt,
+          // srcPart); rows arrive sorted by (term, salt, srcPart, firstDocId).
+          // srcPart matters: different sub-indexes of a composite overlap in
+          // docId space and must not be concatenated into one stream.
+          val groups = mutable.ArrayBuffer.empty[(Int, Array[PostingBlock])]
+          RunIterator(run)(r => (r.term, r.salt, r.srcPart)).foreach { case ((t, _, _), g) =>
+            val ti = plan.termIndex(t)
+            if (ti >= 0) groups += ((ti, g.map(_.toBlock).toArray))
+          }
+          Wand.topK(plan, groups, bucket, width)
         }
-        Wand.topK(p, groups, bucket, width)
       }
-    }
-
-    local.toDF("docId", "score", "nTerms")
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
   }
 
   /** J4 — attach urls for display (tiny isin-filtered broadcast join). */
