@@ -158,6 +158,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // W3 — rolling frame analytics over the event stream
+    "events_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, Window.currentRow)
+      Harness.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 6).as("rolling_avg"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A9 — cube over corpus dimensions (index metrics rollup)
+    "cube_lang_source" -> ((s, dir) =>
+      Harness.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"), col("n"), col("chars"))
+        .orderBy(col("lang"), col("source"))),
+
     // -- dedup family over documents --------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Harness.documents(s, dir)).orderBy(col("doc_id"))),
@@ -261,6 +280,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*)::BIGINT AS n, round(sum(value), 6) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cube_lang_source" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
