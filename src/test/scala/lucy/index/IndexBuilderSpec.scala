@@ -82,6 +82,22 @@ class IndexBuilderSpec extends SparkFunSuite {
     assert(fs.getFileStatus(new Path(s"$dir/docmap/_SUCCESS")).getModificationTime === docmapMtime)
   }
 
+  test("resume: segments wiped, docmap/stats kept → rebuilt index is logically identical") {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$tmp/partial"
+    val pages = PagesGen.pages(spark, 250)
+    IndexBuilder.build(pages, dir, fingerprint = "v1")
+    val before = decodedPostings(LucyIndex(dir)).collect().toSet
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/segments"), true)
+    fs.delete(new Path(s"$dir/meta"), true)
+    val docmapMtime = fs.getFileStatus(new Path(s"$dir/docmap/_SUCCESS")).getModificationTime
+    IndexBuilder.build(pages, dir, fingerprint = "v1")
+    assert(decodedPostings(LucyIndex(dir)).collect().toSet === before)
+    assert(fs.getFileStatus(new Path(s"$dir/docmap/_SUCCESS")).getModificationTime === docmapMtime,
+      "docmap stage must not re-run")
+  }
+
   test("docLen and tf survive the varint roundtrip at block boundaries") {
     // force multi-block terms: 300 docs all sharing one tail-ish term
     import spark.implicits._

@@ -44,6 +44,26 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(HtmlText.textOf("<p>x</p>".getBytes(StandardCharsets.UTF_8), null) === "x")
   }
 
+  test("scanner == frozen regex reference on adversarial inputs (property)") {
+    val rnd = new scala.util.Random(42)
+    val frags = Array("<script>", "</script>", "</script >", "<SCRIPT a=b>",
+      "<style>", "</style>", "<!--", "-->", "<scriptx>", "<script_b>",
+      "<b>", "</b>", "<", ">", "<b", "&amp;", "&lt;", "&GT;", "&nbsp;",
+      "&#39;", "&amp", "& amp;", "text", "a  b", "\t", "\n", " ", "x<y",
+      "var q = \"<b>\";", "p{color:red}", "<!-- <script> -->", "é中")
+    (0 until 3000).foreach { caseNo =>
+      val html = (0 until rnd.nextInt(24)).map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val ref = HtmlText.extractReference(html)
+      val fast = HtmlText.extractFast(html)
+      assert(fast === ref, s"case $caseNo input: ${html.replace("\n", "\\n").replace("\t", "\\t")}")
+    }
+    // plus the generated corpus pages (both html variants)
+    (0L until 200L).foreach { i =>
+      val h = new String(lucy.fixtures.PagesGen.page(i).html, StandardCharsets.UTF_8)
+      assert(HtmlText.extractFast(h) === HtmlText.extractReference(h), s"page $i")
+    }
+  }
+
   test("golden: the PagesGen template extracts deterministically") {
     val p = lucy.fixtures.PagesGen.page(0L)
     val extracted = HtmlText.extractFromHtml(p.html)
