@@ -66,6 +66,29 @@ class IncrementalSpec extends SparkFunSuite {
     }
   }
 
+  test("windowed ingest metrics with watermark (ST2/ST3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[Long](spark)
+    val pagesStream = stream.toDS().map(PagesGen.page _).toDF()
+    val q = IndexingMetrics.docsPerWindow(pagesStream, "1 minute", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ingest_metrics").start()
+    try {
+      // warc_ts = epoch + i seconds → i in [0, 300) spans 5 one-minute windows
+      stream.addData(0L until 300L: _*)
+      // advance the watermark far enough to close them
+      stream.addData(5000L, 5001L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("select * from ingest_metrics").collect()
+    val total = rows.map(_.getLong(3)).sum
+    assert(total === 300L) // all 5 closed windows emitted, all langs
+    assert(rows.map(_.getString(2)).toSet.contains("en"))
+    // per-window totals are 60 docs across langs
+    val perWindow = rows.groupBy(_.getTimestamp(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(perWindow.values.toSet === Set(60L))
+  }
+
   test("recrawled urls: compaction keeps the latest version") {
     import spark.implicits._
     val root = s"$tmp/recrawl"
