@@ -36,12 +36,18 @@ object Harness {
     * by the dir name; IndexBuilder's manifest makes repeat calls no-ops
     * across queries AND across JVMs.
     */
+  /** Bump when the on-disk segment/manifest format changes: stale
+    * harness indexes from an older code version are then simply ignored
+    * (fresh dir) instead of tripping the builder's fingerprint refusal.
+    */
+  private val formatVersion = 1
+
   def index(spark: SparkSession, sfDir: String): LucyIndex =
     cache.getOrElseUpdate(sfDir, {
       val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/lucy-harness/$key"
+      val dir = s"${sys.props("java.io.tmpdir")}/lucy-harness/$key-v$formatVersion"
       IndexBuilder.build(documentsAsPages(spark, sfDir), dir,
-        IndexConfig(lang = None), fingerprint = sfDir)
+        IndexConfig(lang = None), fingerprint = s"$sfDir@v$formatVersion")
       LucyIndex(dir)
     })
 }
