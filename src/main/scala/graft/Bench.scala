@@ -98,15 +98,19 @@ object Bench {
       }
     }
 
+    // Locale.ROOT: default-locale "%.3f" yields comma decimals under e.g.
+    // de_DE and would crash .toDouble after all phases complete (ADVICE r1)
+    def num(fmt: String, v: Double): Double =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v)).toDouble
     val total = timings("index_build") + timings("queries_sequential") +
       timings("queries_concurrent") + timings("harness_total")
-    val qs = timings.map { case (k, v) => s""""$k":${"%.3f".format(v).toDouble}""" }
+    val qs = timings.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total).toDouble},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
-      s""""postings":${manifest.postings},"docs_per_sec":${"%.1f".format(docsPerSec).toDouble},""" +
-      s""""qps_sequential":${"%.2f".format(seqQps).toDouble},""" +
-      s""""qps_concurrent":${"%.2f".format(concQps).toDouble}}""")
+      s""""postings":${manifest.postings},"docs_per_sec":${num("%.1f", docsPerSec)},""" +
+      s""""qps_sequential":${num("%.2f", seqQps)},""" +
+      s""""qps_concurrent":${num("%.2f", concQps)}}""")
     spark.stop()
   }
 }

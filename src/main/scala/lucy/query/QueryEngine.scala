@@ -25,6 +25,10 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
 
   lazy val stats: CorpusStats = index.corpusStats(spark)
   private val dfCache = TrieMap[String, Option[TermStats]]()
+  // Gathered posting blocks per term (size-capped LRU; see BlockCache):
+  // first query for a term pays one pruned collect job, repeats are pure
+  // driver compute — the serving analog of lucy.js's in-memory index.
+  private val blockCache = new BlockCache()
   // One shared relation per engine: planning against a fresh
   // spark.read.parquet per query re-lists files and re-reads footers on
   // the driver, which serializes concurrent clients.
@@ -50,5 +54,6 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
 
   def search(query: String, mode: QueryMode.Value = QueryMode.And,
              k: Int = LucySpec.defaultK): DataFrame =
-    Searcher.searchWith(spark, segmentsDf, query, mode, k, stats, lookup)
+    Searcher.searchWith(spark, segmentsDf, query, mode, k, stats, lookup,
+      blockCache = Some(blockCache))
 }

@@ -1,7 +1,8 @@
 package lucy.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import scala.collection.mutable
 import lucy.{Hashing, LucySpec}
 import lucy.index.{PostingBlock, RunIterator, SearchableIndex, Stats}
@@ -25,26 +26,91 @@ private[query] case class BucketedBlock(
   *     parquet row-group min/max stats skip everything but the query
   *     terms' blocks. IO is proportional to the query terms' postings,
   *     not the corpus.
-  *  2. BUCKET EXCHANGE — the index is term-partitioned, but scoring
-  *     (AND intersection, per-doc Σ) needs all query terms co-located
-  *     per docId. Blocks are routed to fixed arithmetic docId buckets
-  *     (docId/width; docIds are xxhash64 → uniform, so buckets are
-  *     balanced by construction — no sampling, no skew). Only the
-  *     pruned blocks shuffle: for a 4-term query on 10^12 docs this is
-  *     a few GB against a PB-scale index. A block rarely straddles a
-  *     bucket boundary (128 consecutive docIds in a 2^63 space); if it
-  *     does, it is replicated to each overlapped bucket and the kernel
-  *     evaluates only docs with docId/width == bucket — each doc scored
-  *     exactly once.
-  *  3. PER-BUCKET WAND — block-max pruning kernel, O(cursors + k)
-  *     memory, emits ≤k local hits.
-  *  4. GLOBAL TOP-K — orderBy(score DESC, docId ASC).limit(k) plans as
-  *     TakeOrderedAndProjectExec (per-partition heap + driver merge).
+  *  2. Three execution shapes, picked by postings volume (Σ df over the
+  *     query's terms — known exactly from the stats lookup):
+  *
+  *     a. SCATTER-GATHER (Σdf ≤ gatherMaxPostings, the common case):
+  *        one job collects the pruned COMPRESSED blocks (a few bytes per
+  *        posting) to the driver, which runs the same WAND kernel over
+  *        the full docId range and returns a LocalRelation — zero
+  *        shuffles, zero further jobs. This is the classic distributed-
+  *        search serving shape (per-shard fetch + broker-side merge):
+  *        a query touching ~10^6 postings is a ~MB transfer and a
+  *        sub-ms kernel — scheduling a cluster-wide exchange for it
+  *        costs 10-100× the work itself. Warm latency is one task wave.
+  *
+  *     b. SINGLE-TERM, any size: no per-doc co-location needed (every
+  *        posting scores independently), so the kernel runs directly on
+  *        the scan partitions — one job, no shuffle, TakeOrdered merge.
+  *
+  *     c. BUCKET EXCHANGE (multi-term, Σdf large): scoring needs all
+  *        query terms co-located per docId. Blocks are routed to fixed
+  *        arithmetic docId buckets (docId/width; docIds are xxhash64 →
+  *        uniform, so buckets are balanced by construction — no
+  *        sampling, no skew). Only the pruned blocks shuffle: for a
+  *        4-term query on 10^12 docs this is a few GB against a
+  *        PB-scale index. A block rarely straddles a bucket boundary
+  *        (128 consecutive docIds in a 2^63 space); if it does, it is
+  *        replicated to each overlapped bucket and the kernel evaluates
+  *        only docs inside the bucket's range — each doc scored exactly
+  *        once. Per-bucket WAND emits ≤k local hits;
+  *        orderBy(score DESC, docId ASC).limit(k) plans as
+  *        TakeOrderedAndProjectExec (per-partition heap + driver merge).
   *
   * Query-term stats (df per term, N, avgdl) are driver-looked-up (one
   * tiny pruned job over stats/terms) and broadcast inside QueryPlan.
   */
+/** Driver-side cache of gathered posting blocks, keyed by term — the
+  * serving-layer analog of lucy.js holding its whole index in memory.
+  * Safe because a LucyIndex directory is immutable (compaction writes a
+  * NEW generation dir and the engine is rebuilt on it): entries never
+  * invalidate. Size-capped LRU so a long-running server holds only the
+  * working set; each entry is ≤ gatherMaxPostings' worth of compressed
+  * blocks. A cache hit makes a repeat-term query pure driver compute —
+  * zero Spark jobs.
+  *
+  * Value shape: one entry per (salt, srcPart) stream, blocks sorted by
+  * firstDocId — exactly the kernel's cursor grouping.
+  */
+final class BlockCache(maxBytes: Long = 256L << 20) {
+  private type Groups = Seq[((Int, Int), Array[PostingBlock])]
+  private val map = new java.util.LinkedHashMap[String, (Long, Groups)](64, 0.75f, true)
+  private var bytes = 0L
+
+  def get(term: String): Option[Groups] = synchronized {
+    Option(map.get(term)).map(_._2)
+  }
+
+  def put(term: String, groups: Groups): Unit = synchronized {
+    if (map.containsKey(term)) return
+    val sz = groups.iterator.flatMap(_._2).map(b =>
+      b.docsVarint.length + b.tfsVarint.length + b.dlsVarint.length + 64L).sum
+    map.put(term, (sz, groups))
+    bytes += sz
+    val it = map.entrySet().iterator()
+    while (bytes > maxBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != term) { bytes -= e.getValue._1; it.remove() }
+    }
+  }
+
+  def sizeBytes: Long = synchronized(bytes)
+}
+
 object Searcher {
+
+  /** Postings-volume ceiling for the scatter-gather path. 2^20 postings
+    * ≈ 2–4 MB of varint blocks on the driver — bounded regardless of
+    * corpus size because it counts POSTINGS, not documents. Queries
+    * above it (head-term combinations at web scale) take the
+    * distributed exchange.
+    */
+  val defaultGatherMaxPostings: Long = 1L << 20
+
+  private val resultSchema = StructType(Seq(
+    StructField("docId", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("nTerms", IntegerType, nullable = false)))
 
   def search(spark: SparkSession, index: SearchableIndex, query: String,
              mode: QueryMode.Value = QueryMode.And,
@@ -60,10 +126,12 @@ object Searcher {
     */
   def searchWith(spark: SparkSession, segments: DataFrame, query: String,
                  mode: QueryMode.Value, k: Int, stats: lucy.index.CorpusStats,
-                 lookup: Seq[String] => Map[String, lucy.index.TermStats]): DataFrame = {
-    import spark.implicits._
+                 lookup: Seq[String] => Map[String, lucy.index.TermStats],
+                 gatherMaxPostings: Long = defaultGatherMaxPostings,
+                 blockCache: Option[BlockCache] = None): DataFrame = {
     val terms = LucySpec.queryTerms(query)
-    val empty = Seq.empty[ScoredDoc].toDS().toDF("docId", "score", "nTerms")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), resultSchema)
     if (terms.isEmpty) return empty
 
     val dfMap = lookup(terms.toSeq)
@@ -84,31 +152,84 @@ object Searcher {
       .filter(col("termHash").isin(hashes.toSeq: _*) &&
         col("term").isin(present.map(_.asInstanceOf[Any]).toSeq: _*))
 
-    val local =
-      if (present.length == 1) {
-        // Single-term fast path: no per-doc co-location needed (every
-        // posting scores independently), so skip the bucket exchange and
-        // run the kernel directly on the scan partitions. A stream split
-        // across scan partitions is fine — each sub-stream is sorted and
-        // scored independently.
-        singleTermLocal(spark, pruned, plan)
-      } else {
-        // Bucket count sized to the work: candidates ≤ Σ df(query terms);
-        // aim for ~64k postings per kernel invocation, capped by the
-        // session's shuffle partitions. A fixed large D would pay tens of
-        // idle tasks per query; a fixed small D would bottleneck head
-        // queries at scale.
-        val sumDf = present.map(dfMap(_).df).sum
-        val maxB = spark.sessionState.conf.numShufflePartitions
-        val numBuckets = math.max(1L, math.min(maxB.toLong, sumDf / 65536 + 1)).toInt
-        bucketedLocal(spark, pruned, plan, numBuckets)
-      }
-
-    local.toDF("docId", "score", "nTerms")
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
+    val sumDf = present.map(dfMap(_).df).sum
+    if (sumDf <= gatherMaxPostings) {
+      gatherLocal(spark, segments, plan, blockCache)
+    } else {
+      val local =
+        if (present.length == 1) singleTermLocal(spark, pruned, plan)
+        else {
+          // Bucket count sized to the work: candidates ≤ Σ df(query
+          // terms); aim for ~64k postings per kernel invocation, capped
+          // by the session's shuffle partitions. A fixed large D would
+          // pay tens of idle tasks per query; a fixed small D would
+          // bottleneck head queries at scale.
+          val maxB = spark.sessionState.conf.numShufflePartitions
+          val numBuckets = math.max(1L, math.min(maxB.toLong, sumDf / 65536 + 1)).toInt
+          bucketedLocal(spark, pruned, plan, numBuckets)
+        }
+      local.toDF("docId", "score", "nTerms")
+        .orderBy(col("score").desc, col("docId").asc)
+        .limit(k)
+    }
   }
 
+  /** Shape (a): one collect job over the pruned compressed blocks (only
+    * the terms missing from the block cache), WAND kernel + top-k merge
+    * on the driver, result as a LocalRelation (a later .collect() runs
+    * zero jobs; a fully cache-hit query runs zero jobs period).
+    * Bit-identical to the distributed shapes: same kernel, same full
+    * docId range, same total order.
+    */
+  private def gatherLocal(spark: SparkSession, segments: DataFrame, plan: QueryPlan,
+                          blockCache: Option[BlockCache]): DataFrame = {
+    import spark.implicits._
+    val cached: Map[String, Seq[((Int, Int), Array[PostingBlock])]] =
+      blockCache match {
+        case Some(c) => plan.terms.iterator.flatMap(t => c.get(t).map(t -> _)).toMap
+        case None => Map.empty
+      }
+    val missing = plan.terms.filterNot(cached.contains)
+
+    val fetched: Map[String, Seq[((Int, Int), Array[PostingBlock])]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val hashes = missing.map(t => Hashing.termHash(t).asInstanceOf[Any])
+        val rows = segments
+          .filter(col("termHash").isin(hashes.toSeq: _*) &&
+            col("term").isin(missing.map(_.asInstanceOf[Any]).toSeq: _*))
+          .select(col("srcPart"), col("termHash"), col("term"), col("salt"),
+            col("blockNo"), col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"),
+            col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+          .withColumn("bucket", lit(0L))
+          .as[BucketedBlock]
+          .collect()
+        val byTerm = rows.groupBy(_.term).map { case (t, g) =>
+          t -> g.groupBy(r => (r.salt, r.srcPart)).toSeq.map { case (key, blocks) =>
+            key -> blocks.sortBy(_.firstDocId).map(_.toBlock)
+          }
+        }
+        // a present term can still collect zero blocks only if segments and
+        // stats disagree; cache the empty groups too (harmless)
+        val complete = missing.iterator.map(t => t -> byTerm.getOrElse(t, Seq.empty)).toMap
+        blockCache.foreach(c => complete.foreach { case (t, g) => c.put(t, g) })
+        complete
+      }
+
+    val groups = plan.terms.indices.flatMap { ti =>
+      val t = plan.terms(ti)
+      (cached.getOrElse(t, Seq.empty) ++ fetched.getOrElse(t, Seq.empty))
+        .map { case (_, blocks) => (ti, blocks) }
+    }
+
+    val hits = Wand.topK(plan, groups, 0L, Long.MaxValue).toArray
+    val top = hits.sorted(Wand.bestFirst).take(plan.k)
+    val list = new java.util.ArrayList[Row](top.length)
+    top.foreach(h => list.add(Row(h.docId, h.score, h.nTerms)))
+    spark.createDataFrame(list, resultSchema)
+  }
+
+  /** Shape (b): single term, kernel directly on scan partitions. */
   private def singleTermLocal(spark: SparkSession, pruned: DataFrame, plan: QueryPlan) = {
     import spark.implicits._
     pruned
@@ -129,10 +250,27 @@ object Searcher {
       }
   }
 
+  /** Bucket width such that docId div width ∈ [0, numBuckets] for
+    * docIds in [0, Long.MaxValue]. numBuckets == 1 needs the explicit
+    * branch: Long.MaxValue/1 + 1 would overflow to Long.MinValue
+    * (regression-tested in WandEquivalenceSpec).
+    */
+  private[query] def bucketWidth(numBuckets: Int): Long =
+    if (numBuckets <= 1) Long.MaxValue else Long.MaxValue / numBuckets + 1
+
+  /** Inclusive end of a bucket's docId range. The topmost bucket
+    * (Long.MaxValue div width) is end-inclusive at Long.MaxValue so a
+    * docId of exactly Long.MaxValue is scoreable (ADVICE r1).
+    */
+  private[query] def bucketEndInclusive(bucket: Long, width: Long): Long =
+    if (bucket >= Long.MaxValue / width) Long.MaxValue
+    else (bucket + 1) * width - 1
+
+  /** Shape (c): distributed bucket exchange. */
   private def bucketedLocal(spark: SparkSession, pruned: DataFrame, plan: QueryPlan,
                             numBuckets: Int) = {
     import spark.implicits._
-    val width = Long.MaxValue / numBuckets + 1
+    val width = bucketWidth(numBuckets)
     pruned
       .withColumn("bucket",
         explode(sequence(expr(s"firstDocId div ${width}L"), expr(s"lastDocId div ${width}L"))))
@@ -154,7 +292,7 @@ object Searcher {
             val ti = plan.termIndex(t)
             if (ti >= 0) groups += ((ti, g.map(_.toBlock).toArray))
           }
-          Wand.topK(plan, groups, bucket, width)
+          Wand.topK(plan, groups, bucket * width, bucketEndInclusive(bucket, width))
         }
       }
   }

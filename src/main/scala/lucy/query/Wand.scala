@@ -14,18 +14,26 @@ case class QueryPlan(terms: Array[String], dfs: Array[Long], n: Long,
 
 case class ScoredDoc(docId: Long, score: Double, nTerms: Int)
 
-/** A cursor over one (term, salt) stream's blocks within a bucket,
+/** A cursor over one (term, salt) stream's blocks within a docId range,
   * sorted by firstDocId. Lazily decodes; advances block-at-a-time using
   * (firstDocId, lastDocId) skip metadata without decoding skipped blocks
   * (SURVEY.md §4.4).
+  *
+  * The range is END-INCLUSIVE: a document with docId == Long.MaxValue
+  * (possible — docIds are xxhash64 & Long.MaxValue) is scoreable in the
+  * last bucket. `exhausted` is the only authoritative end-of-stream
+  * signal; the docId == Long.MaxValue sentinel is paired with it but a
+  * LIVE cursor may also legitimately sit at Long.MaxValue.
   */
 private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
-                                  endExclusive: Long, avgdl: Double) {
+                                  endInclusive: Long, avgdl: Double) {
   private var bi = 0
   private var decoded: DecodedBlock = null
   private var pos = 0
   var docId: Long = -1L
   var exhausted: Boolean = false
+
+  private def exhaust(): Unit = { exhausted = true; docId = Long.MaxValue; decoded = null }
 
   /** Upper bound of the remaining stream's impact (suffix max over
     * remaining blocks of impact(maxTf, minDocLen) — monotone bounds,
@@ -48,7 +56,35 @@ private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
   def tf: Int = decoded.tfs(pos)
   def docLen: Int = decoded.docLens(pos)
 
-  /** Position at the first docId ≥ target (and < endExclusive). */
+  /** Skip whole blocks with lastDocId < target WITHOUT decoding. After
+    * the call either `exhausted`, or the current block has
+    * lastDocId ≥ target and blockFirst/blockLast/blockImpactUb describe
+    * it. Never decodes; never moves an already-positioned cursor
+    * backwards.
+    */
+  def shallowTo(target: Long): Unit = {
+    if (exhausted) return
+    if (decoded != null && docId >= target) return // already positioned past target
+    while (bi < blocks.length && blocks(bi).lastDocId < target) {
+      bi += 1; decoded = null; pos = 0
+    }
+    if (bi >= blocks.length) { exhaust(); return }
+    if (blocks(bi).firstDocId > endInclusive) exhaust() // rest of stream out of range
+  }
+
+  /** True when the cursor is exactly positioned at a docId ≥ target —
+    * the shallow phase can then use the exact docId instead of the
+    * block-metadata lower bound.
+    */
+  def decodedAt(target: Long): Boolean = decoded != null && docId >= target
+
+  /** Current block metadata (valid when !exhausted after shallowTo). */
+  def blockFirst: Long = blocks(bi).firstDocId
+  def blockLast: Long = blocks(bi).lastDocId
+  def blockImpactUb: Double =
+    LucySpec.impactUpperBound(blocks(bi).maxTf, blocks(bi).minDocLen, avgdl)
+
+  /** Position at the first docId ≥ target (and ≤ endInclusive). */
   def advanceTo(target: Long): Unit = {
     if (exhausted) return
     if (decoded != null && docId >= target) return
@@ -56,7 +92,7 @@ private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
     while (bi < blocks.length && blocks(bi).lastDocId < target) {
       bi += 1; decoded = null; pos = 0
     }
-    if (bi >= blocks.length) { exhausted = true; docId = Long.MaxValue; return }
+    if (bi >= blocks.length) { exhaust(); return }
     if (decoded == null) { decoded = PostingBlock.decode(blocks(bi)); pos = 0 }
     while (pos < decoded.docIds.length && decoded.docIds(pos) < target) pos += 1
     if (pos >= decoded.docIds.length) {
@@ -65,48 +101,56 @@ private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
       return
     }
     docId = decoded.docIds(pos)
-    if (docId >= endExclusive) { exhausted = true; docId = Long.MaxValue }
+    if (docId > endInclusive) exhaust()
   }
 
-  def next(): Unit = advanceTo(docId + 1)
+  /** Advance past the current document (overflow-safe at Long.MaxValue). */
+  def next(): Unit =
+    if (docId == Long.MaxValue) exhaust() else advanceTo(docId + 1)
 }
 
 /** Block-max WAND kernel (SURVEY.md §4.4; Broder et al. CIKM'01, Ding &
-  * Suel SIGIR'11 [LIT]) — runs per docId bucket inside mapPartitions.
-  * State is O(#cursors + k); no spill possible.
+  * Suel SIGIR'11 [LIT]) — runs per docId range, either inside
+  * mapPartitions (distributed buckets) or on the driver over gathered
+  * blocks (Searcher's scatter-gather path). State is O(#cursors + k);
+  * no spill possible.
   *
   * Exactness contract (WandEquivalenceSpec): identical top-k — docIds,
   * bit-equal scores, same (score DESC, docId ASC) order — as
   * NaiveSearch over any corpus. Scores are computed addend-by-addend in
   * ascending term order via LucySpec.bm25Addend, exactly the naive
-  * engine's fold.
+  * engine's fold. Both modes prune with upper bounds that are
+  * FP-monotone-safe: every addend ≤ its bound under IEEE754 weak
+  * monotonicity of +,*,/ on positive operands, and bound sums use the
+  * same ascending-term order as scoreDoc, so `boundSum < θ` implies
+  * `score < θ` exactly, never "approximately".
   */
 object Wand {
 
   /** Heap entry ordering: the WORST result first (min-heap on score,
     * tie: larger docId is worse) so the root is the eviction candidate.
     */
-  private val worstFirst: Ordering[ScoredDoc] = (a: ScoredDoc, b: ScoredDoc) => {
+  val worstFirst: Ordering[ScoredDoc] = (a: ScoredDoc, b: ScoredDoc) => {
     val c = java.lang.Double.compare(a.score, b.score)
     if (c != 0) c else java.lang.Long.compare(b.docId, a.docId)
   }
 
-  /** Run the kernel over one bucket's blocks.
+  /** best-first total order (score DESC, docId ASC) — the result order. */
+  val bestFirst: Ordering[ScoredDoc] = worstFirst.reverse
+
+  /** Run the kernel over one docId range's blocks.
     *
-    * @param blocksByCursor blocks grouped per (term,salt), each group
-    *                       sorted by firstDocId, with the term's index
-    *                       into plan.terms
-    * @param lo,width       bucket docId range: docs with docId/width==bucket
+    * @param blocksByCursor blocks grouped per (term, salt, srcPart), each
+    *                       group sorted by firstDocId, with the term's
+    *                       index into plan.terms
+    * @param lo             first docId of the range (inclusive)
+    * @param endInclusive   last docId of the range (inclusive; pass
+    *                       Long.MaxValue for an unbounded range)
     */
   def topK(plan: QueryPlan, blocksByCursor: Iterable[(Int, Array[PostingBlock])],
-           bucket: Long, width: Long): Iterator[ScoredDoc] = {
-    val endExclusive =
-      if (bucket >= Long.MaxValue / width) Long.MaxValue
-      else (bucket + 1) * width
-    val lo = bucket * width
-
+           lo: Long, endInclusive: Long): Iterator[ScoredDoc] = {
     val cursors = blocksByCursor.iterator.map { case (ti, bs) =>
-      val c = new Cursor(ti, bs, endExclusive, plan.avgdl)
+      val c = new Cursor(ti, bs, endInclusive, plan.avgdl)
       c.advanceTo(lo)
       c
     }.filterNot(_.exhausted).toArray
@@ -122,7 +166,7 @@ object Wand {
     val idfs = plan.dfs.map(df => LucySpec.idf(df, plan.n))
     val weights = idfs.map(_ * (LucySpec.k1 + 1.0)) // per-term score multiplier
 
-    val heap = new mutable.PriorityQueue[ScoredDoc]()(worstFirst.reverse) // min-root
+    val heap = new mutable.PriorityQueue[ScoredDoc]()(bestFirst) // min-root
     def theta: Double = if (heap.size >= plan.k) heap.head.score else Double.NegativeInfinity
 
     // score doc d: addends in ascending term order (cursors per term are
@@ -133,6 +177,10 @@ object Wand {
       m.map(_.toArray)
     }
 
+    // weights(t) * impact is bit-identical to LucySpec.bm25Addend's
+    // (idf * (k1+1)) * impact — same left association, idf(df, n) is a
+    // pure function recomputed to the same bits every call — but hoists
+    // the log out of the per-posting hot loop.
     def scoreDoc(d: Long): Unit = {
       var score = 0.0
       var matched = 0
@@ -143,7 +191,7 @@ object Wand {
         while (i < cs.length) {
           val c = cs(i)
           if (!c.exhausted && c.docId == d) {
-            score += LucySpec.bm25Addend(c.tf, c.docLen, plan.dfs(t), plan.n, plan.avgdl)
+            score += weights(t) * LucySpec.impact(c.tf, c.docLen, plan.avgdl)
             matched += 1
             i = cs.length
           } else i += 1
@@ -151,82 +199,229 @@ object Wand {
         t += 1
       }
       if (plan.conjunctive && matched < nQ) return
-      val cand = ScoredDoc(d, score, matched)
-      if (heap.size < plan.k) heap.enqueue(cand)
-      else if (worstFirst.compare(cand, heap.head) > 0) { // cand better than worst
-        heap.dequeue(); heap.enqueue(cand)
+      offer(d, score, matched)
+    }
+
+    // allocation-free eviction check (worstFirst inlined)
+    def offer(d: Long, score: Double, matched: Int): Unit = {
+      if (heap.size < plan.k) heap.enqueue(ScoredDoc(d, score, matched))
+      else {
+        val worst = heap.head
+        if (score > worst.score || (score == worst.score && d < worst.docId)) {
+          heap.dequeue(); heap.enqueue(ScoredDoc(d, score, matched))
+        }
       }
     }
 
-    if (plan.conjunctive) {
-      // leapfrog intersection with block-skip advances. The candidate is
-      // max over TERMS of (min over the term's salt cursors) — NOT max
-      // over all cursors, which would jump past docs served by a term's
-      // other salt stream.
-      var target = lo
-      var done = false
-      while (!done) {
-        // advance every cursor group to ≥ target; a term is "at" target
-        // if one of its cursors is
+    if (plan.conjunctive) conjunctive(plan, byTerm, weights, lo, heap, theta _, offer)
+    else disjunctive(cursors, weights, heap, theta _, scoreDoc)
+
+    heap.dequeueAll.reverseIterator // best-first (cosmetic; global sort follows)
+  }
+
+  /** AND mode: leapfrog intersection with two pruning layers —
+    *  (a) shallow block alignment: candidate docIds are raised using
+    *      only (firstDocId, lastDocId) metadata, no decode;
+    *  (b) block-max θ skip (Ding & Suel): once the heap is full, if the
+    *      sum over terms of weight × current-block impact bound can't
+    *      reach θ, the whole overlap range up to the earliest block exit
+    *      is skipped — no decode, no scoring.
+    * The candidate target is max over TERMS of (min over the term's salt
+    * cursors) — NOT max over all cursors, which would jump past docs
+    * served by a term's other salt stream.
+    */
+  private def conjunctive(plan: QueryPlan, byTerm: Array[Array[Cursor]],
+                          weights: Array[Double], lo: Long,
+                          heap: mutable.PriorityQueue[ScoredDoc],
+                          theta: () => Double,
+                          offer: (Long, Double, Int) => Unit): Unit = {
+    val nQ = byTerm.length
+    val atCursor = new Array[Cursor](nQ) // term t's cursor sitting at the candidate
+    var candidate = lo
+    var done = false
+
+    // ---- shallow settle: realign on block metadata + θ skip, no decode.
+    // Called at the start and after every leapfrog JUMP (the dense
+    // aligned fast path skips it: with near-uniform impacts θ can't
+    // prune there, while on skewed/tail-driven queries every iteration
+    // is a jump and the skip fires where it pays — Ding & Suel's
+    // block-max regime).
+    def shallowSettle(): Unit = {
+      var settled = false
+      while (!done && !settled) {
+        var cand = candidate
+        var minExit = Long.MaxValue
         var t = 0
-        var aligned = true
-        var nextTarget = target
         while (t < nQ && !done) {
           val cs = byTerm(t)
-          var best = Long.MaxValue
+          var termCand = Long.MaxValue
+          var termAny = false // MaxValue is a legal candidate, not a sentinel
           var i = 0
           while (i < cs.length) {
             val c = cs(i)
-            if (!c.exhausted) { c.advanceTo(target); if (c.docId < best) best = c.docId }
+            if (!c.exhausted) {
+              c.shallowTo(candidate)
+              if (!c.exhausted) {
+                termAny = true
+                val f = if (c.decodedAt(candidate)) c.docId else math.max(candidate, c.blockFirst)
+                if (f < termCand) termCand = f
+                if (c.blockLast < minExit) minExit = c.blockLast
+              }
+            }
             i += 1
           }
-          if (best == Long.MaxValue) done = true // term exhausted → no more AND matches
-          else {
-            if (best != target) aligned = false
-            if (best > nextTarget) nextTarget = best
-          }
+          if (!termAny) done = true // term dead → no more AND matches
+          else if (termCand > cand) cand = termCand
           t += 1
         }
         if (!done) {
-          if (aligned) { scoreDoc(target); nextTarget = target + 1 }
-          target = nextTarget
-        }
-      }
-    } else {
-      // disjunctive WAND: pivot on cumulative remaining upper bounds
-      val live = mutable.ArrayBuffer(cursors: _*)
-      var continue = true
-      while (continue && live.nonEmpty) {
-        val sorted = live.sortBy(_.docId)
-        var acc = 0.0
-        var pivot = -1
-        var i = 0
-        while (i < sorted.length && pivot == -1) {
-          acc += weights(sorted(i).termIdx) * sorted(i).remainingImpactUb
-          if (acc >= theta) pivot = i
-          i += 1
-        }
-        if (pivot == -1) continue = false // nothing can reach θ
-        else {
-          val pivotDoc = sorted(pivot).docId
-          if (sorted(0).docId == pivotDoc) {
-            scoreDoc(pivotDoc)
-            // advance EVERY cursor sitting at pivotDoc (also those beyond
-            // the pivot index) or the doc would be scored twice
-            var j = 0
-            while (j < sorted.length && sorted(j).docId <= pivotDoc) {
-              sorted(j).advanceTo(pivotDoc + 1); j += 1
+          if (cand > candidate) candidate = cand // realign and re-run
+          else if (heap.size >= plan.k) {
+            // θ skip: bound the best possible score in [candidate, minExit].
+            // Summed in ascending term order like the scorer, so FP weak
+            // monotonicity makes `ub < θ` an exact implication.
+            var ub = 0.0
+            var u = 0
+            while (u < nQ) {
+              val cs = byTerm(u)
+              var best = 0.0
+              var i = 0
+              while (i < cs.length) {
+                val c = cs(i)
+                if (!c.exhausted && c.blockImpactUb > best) best = c.blockImpactUb
+                i += 1
+              }
+              ub += weights(u) * best
+              u += 1
             }
-          } else {
-            // advance the leading cursors up to the pivot document
-            var j = 0
-            while (j < pivot) { sorted(j).advanceTo(pivotDoc); j += 1 }
-          }
-          live.filterInPlace(!_.exhausted)
+            if (ub < theta()) {
+              if (minExit == Long.MaxValue) done = true
+              else candidate = minExit + 1 // skip the whole overlap range
+            } else settled = true
+          } else settled = true
         }
       }
     }
 
-    heap.dequeueAll.reverseIterator // best-first (cosmetic; global sort follows)
+    shallowSettle()
+    while (!done) {
+      // ---- one full alignment pass: advance every term to candidate,
+      // remember the matching cursor per term (no second scoring scan),
+      // and collect the max overshoot for the jump.
+      var t = 0
+      var aligned = true
+      var next = candidate
+      while (t < nQ && !done) {
+        val cs = byTerm(t)
+        var best = Long.MaxValue
+        var bestCur: Cursor = null
+        var any = false
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          if (!c.exhausted) {
+            c.advanceTo(candidate)
+            if (!c.exhausted) {
+              any = true
+              // bestCur null-check: a LIVE cursor at docId Long.MaxValue
+              // must still win over the `best` init sentinel
+              if (bestCur == null || c.docId < best) { best = c.docId; bestCur = c }
+            }
+          }
+          i += 1
+        }
+        if (!any) done = true // term exhausted → no more AND matches
+        else {
+          if (best > next) next = best
+          if (best != candidate) aligned = false
+          else atCursor(t) = bestCur
+        }
+        t += 1
+      }
+      if (!done) {
+        if (aligned) {
+          // dense fast path: score addends in ascending term order (§8.4)
+          var score = 0.0
+          var u = 0
+          while (u < nQ) {
+            val c = atCursor(u)
+            score += weights(u) * LucySpec.impact(c.tf, c.docLen, plan.avgdl)
+            u += 1
+          }
+          offer(candidate, score, nQ)
+          if (candidate == Long.MaxValue) done = true
+          else candidate += 1
+        } else {
+          candidate = next // leapfrog jump → block-max skip opportunity
+          shallowSettle()
+        }
+      }
+    }
+  }
+
+  /** OR mode: classic WAND pivoting on cumulative remaining upper
+    * bounds. Allocation-free steady state: the cursor array is kept
+    * sorted by docId with an in-place insertion sort (cursors are
+    * nearly sorted after each step — only a prefix advanced), and
+    * exhausted cursors are compacted out of the live prefix.
+    */
+  private def disjunctive(cursors: Array[Cursor], weights: Array[Double],
+                          heap: mutable.PriorityQueue[ScoredDoc],
+                          theta: () => Double, scoreDoc: Long => Unit): Unit = {
+    val arr = cursors.clone()
+    var n = arr.length
+
+    def restore(): Unit = {
+      // insertion sort by docId over the live prefix (near-sorted input),
+      // then drop exhausted cursors (they sit at docId MaxValue but are
+      // distinguished by the flag — a LIVE MaxValue cursor stays)
+      var i = 1
+      while (i < n) {
+        val c = arr(i)
+        var j = i - 1
+        while (j >= 0 && arr(j).docId > c.docId) { arr(j + 1) = arr(j); j -= 1 }
+        arr(j + 1) = c
+        i += 1
+      }
+      var w = 0
+      var r = 0
+      while (r < n) { if (!arr(r).exhausted) { arr(w) = arr(r); w += 1 }; r += 1 }
+      n = w
+    }
+    restore()
+
+    var continue = true
+    while (continue && n > 0) {
+      var acc = 0.0
+      var pivot = -1
+      var i = 0
+      val th = theta()
+      while (i < n && pivot == -1) {
+        acc += weights(arr(i).termIdx) * arr(i).remainingImpactUb
+        if (acc >= th) pivot = i
+        i += 1
+      }
+      if (pivot == -1) continue = false // nothing can reach θ
+      else {
+        val pivotDoc = arr(pivot).docId
+        if (arr(0).docId == pivotDoc) {
+          scoreDoc(pivotDoc)
+          // advance EVERY cursor sitting at pivotDoc (also those beyond
+          // the pivot index) or the doc would be scored twice; next() is
+          // overflow-safe at docId == Long.MaxValue
+          var j = 0
+          while (j < n && arr(j).docId <= pivotDoc) {
+            if (arr(j).docId == pivotDoc) arr(j).next()
+            else arr(j).advanceTo(pivotDoc)
+            j += 1
+          }
+        } else {
+          // advance the leading cursors up to the pivot document
+          var j = 0
+          while (j < pivot) { arr(j).advanceTo(pivotDoc); j += 1 }
+        }
+        restore()
+      }
+    }
   }
 }

@@ -59,13 +59,21 @@ class WandEquivalenceSpec extends SparkFunSuite {
     ("sort join scan", QueryMode.Or, 200)          // k > matches
   )
 
-  test("WAND == naive on a 600-doc corpus (unsalted)") {
+  /** Force an execution shape: gatherMax = Long.MaxValue → scatter-gather
+    * (driver kernel); gatherMax = 0 → distributed (single-term scan-local
+    * or multi-term bucket exchange).
+    */
+  private def searchForced(index: LucyIndex, q: String, m: QueryMode.Value, k: Int,
+                           gatherMax: Long): DataFrame =
+    Searcher.searchWith(spark, index.segments(spark), q, m, k, index.corpusStats(spark),
+      ts => Stats.lookupTerms(index.termStats(spark), ts), gatherMax)
+
+  test("WAND == naive on a 600-doc corpus (unsalted), all execution shapes") {
     val (index, termTf, docmap, stats) = buildBoth(600, IndexConfig(), "unsalted")
     queries.foreach { case (q, m, k) =>
-      assertSame(
-        Searcher.search(spark, index, q, m, k),
-        NaiveSearch.search(termTf, docmap, stats, q, m, k),
-        s"[$q/$m/k=$k]")
+      val naive = NaiveSearch.search(termTf, docmap, stats, q, m, k)
+      assertSame(searchForced(index, q, m, k, Long.MaxValue), naive, s"gather[$q/$m/k=$k]")
+      assertSame(searchForced(index, q, m, k, 0L), naive, s"dist[$q/$m/k=$k]")
     }
   }
 
@@ -76,11 +84,56 @@ class WandEquivalenceSpec extends SparkFunSuite {
     val salts = index.segments(spark).select("salt").distinct().count()
     assert(salts > 1, "salting must actually engage")
     queries.foreach { case (q, m, k) =>
-      assertSame(
-        Searcher.search(spark, index, q, m, k),
-        NaiveSearch.search(termTf, docmap, stats, q, m, k),
-        s"salted[$q/$m/k=$k]")
+      val naive = NaiveSearch.search(termTf, docmap, stats, q, m, k)
+      assertSame(searchForced(index, q, m, k, Long.MaxValue), naive, s"salted-gather[$q/$m/k=$k]")
+      assertSame(searchForced(index, q, m, k, 0L), naive, s"salted-dist[$q/$m/k=$k]")
     }
+  }
+
+  test("bucket routing arithmetic: numBuckets 1, 2, 3 cover [0, Long.MaxValue]") {
+    for (nb <- Seq(1, 2, 3)) {
+      val width = Searcher.bucketWidth(nb)
+      assert(width > 0, s"numBuckets=$nb width must be positive, got $width")
+      // every probe docId lands in exactly one bucket whose range contains it
+      // docIds are 63-bit non-negative; drop probes that overflow (width+1
+      // when width == Long.MaxValue)
+      val probes = Seq(0L, 1L, width - 1, width, width + 1,
+        Long.MaxValue - 1, Long.MaxValue).filter(_ >= 0).distinct
+      probes.foreach { d =>
+        val b = d / width
+        val lo = b * width
+        val hi = Searcher.bucketEndInclusive(b, width)
+        assert(lo <= d && d <= hi, s"numBuckets=$nb docId=$d bucket=$b range=[$lo,$hi]")
+      }
+      // top bucket is end-inclusive at Long.MaxValue
+      val topBucket = Long.MaxValue / width
+      assert(Searcher.bucketEndInclusive(topBucket, width) === Long.MaxValue)
+    }
+  }
+
+  test("kernel scores a document with docId == Long.MaxValue (end-inclusive ranges)") {
+    // Hand-built postings: term 0 in docs {10, Long.MaxValue}, term 1 in
+    // docs {10, 20, Long.MaxValue}. The ADVICE r1 bug treated MaxValue as
+    // the exhausted sentinel and could never score it.
+    def blocksFor(term: String, ti: Int, docs: Seq[Long]) =
+      (ti, PostingBlock.pack(lucy.Hashing.termHash(term), term, 0,
+        docs.iterator.map(d => (d, 1, 5))).toArray)
+    val plan = QueryPlan(Array("aa", "bb"), Array(2L, 3L), n = 10, avgdl = 5.0,
+      conjunctive = true, k = 10)
+    val groups = Seq(
+      blocksFor("aa", 0, Seq(10L, Long.MaxValue)),
+      blocksFor("bb", 1, Seq(10L, 20L, Long.MaxValue)))
+    val hits = lucy.query.Wand.topK(plan, groups, 0L, Long.MaxValue).toArray
+    assert(hits.map(_.docId).sorted === Array(10L, Long.MaxValue))
+
+    // OR mode too, and restricted ranges exclude / include the boundary
+    val orPlan = plan.copy(conjunctive = false)
+    val orHits = lucy.query.Wand.topK(orPlan, groups, 0L, Long.MaxValue).toArray
+    assert(orHits.map(_.docId).sorted === Array(10L, 20L, Long.MaxValue))
+    val below = lucy.query.Wand.topK(orPlan, groups, 0L, Long.MaxValue - 1).toArray
+    assert(below.map(_.docId).sorted === Array(10L, 20L))
+    val onlyTop = lucy.query.Wand.topK(orPlan, groups, Long.MaxValue, Long.MaxValue).toArray
+    assert(onlyTop.map(_.docId) === Array(Long.MaxValue))
   }
 
   test("exact ties break by docId: duplicate documents") {
