@@ -156,6 +156,8 @@ object IndexBuilder {
                  config: IndexConfig, fingerprint: String): BuildManifest = {
     val spark = docmapSrc.sparkSession
     val t0 = System.nanoTime()
+    // marker FIRST: partial builds are identity-guarded too (ADVICE r1)
+    Manifest.claimFingerprint(spark, indexDir, fingerprint)
     val numPartitions =
       if (config.numPartitions > 0) config.numPartitions
       else spark.sessionState.conf.numShufflePartitions

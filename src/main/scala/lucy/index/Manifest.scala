@@ -41,6 +41,32 @@ object Manifest {
     fs.exists(p)
   }
 
+  /** Guard PARTIAL builds (ADVICE r1): a fingerprint marker is committed
+    * BEFORE any stage output, so re-running build() into a dir holding a
+    * crashed half-build of a DIFFERENT input refuses instead of silently
+    * resuming from stale docmap/stats/segments stages. (The completed-
+    * manifest fingerprint check only protects finished builds.)
+    * An empty requested fingerprint means the caller opted out of input
+    * identity (tests/ad-hoc) — resume is then allowed against anything.
+    */
+  def claimFingerprint(spark: SparkSession, indexDir: String, fingerprint: String): Unit = {
+    val p = new Path(s"$indexDir/meta/fingerprint")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(fingerprint.isEmpty || existing == fingerprint,
+        s"index dir $indexDir holds a partial build of '$existing', " +
+          s"refusing to resume with '$fingerprint' — use a fresh dir")
+    } else {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def writeBuild(spark: SparkSession, indexDir: String, m: BuildManifest): Unit = {
     import spark.implicits._
     Seq(m).toDS().coalesce(1).write.mode("overwrite").json(s"$indexDir/meta/build")

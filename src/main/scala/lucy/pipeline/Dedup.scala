@@ -45,27 +45,47 @@ object Dedup {
   }
 
   /** Near-dup pairs by exact n-gram Jaccard ≥ threshold.
-    * Candidates come from a shared-shingle self-join (docs with no
-    * common shingle can't pass any threshold > 0); ubiquitous shingles
-    * (df > maxShingleDf) are dropped from candidate generation — they
-    * only generate quadratic noise — but still count in |A∪B| via the
-    * per-doc shingle totals, keeping Jaccard exact.
+    *
+    * Candidate generation: shared-RARE-shingle self-join. Ubiquitous
+    * shingles (df > maxShingleDf) are excluded from the join — a
+    * shingle shared by M docs emits M²/2 pairs, so hot shingles are
+    * pure quadratic noise — but the reported `shared`/`jaccard` are
+    * EXACT for every candidate pair: the hot contribution to |A∩B| is
+    * recovered via per-doc hot-shingle sets (small arrays — bounded by
+    * doc length, not corpus size) and array_intersect (ADVICE r1).
+    *
+    * Recall caveat (documented, inherent to the cap): a pair whose
+    * shared shingles are ALL hot is never generated as a candidate.
+    * Such docs are near-copies of ubiquitous boilerplate; byte-identical
+    * copies are caught by `exact`, and at web scale the cap is the
+    * difference between a bounded join and an M² explosion.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, n, idCol, textCol)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val rare = sh.join(
-      sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-        .filter(col("sdf") <= maxShingleDf).select("shingle"),
+    val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    val rare = sh.join(sdf.filter(col("sdf") <= maxShingleDf).select("shingle"),
       Seq("shingle"), "left_semi")
+    // per-doc HOT shingle sets (sorted for determinism); most docs have
+    // none → the left joins below keep them cheap
+    val hotPerDoc = sh.join(sdf.filter(col("sdf") > maxShingleDf).select("shingle"),
+        Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("shingle"))).as("hot"))
     val a = rare.toDF("shingle", "a")
     val b = rare.toDF("shingle", "b")
-    val shared = a.join(b, Seq("shingle"))
+    val sharedRare = a.join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_rare"))
+    val emptyArr = array().cast("array<string>")
+    sharedRare
+      .join(hotPerDoc.toDF("a", "hot_a"), Seq("a"), "left")
+      .join(hotPerDoc.toDF("b", "hot_b"), Seq("b"), "left")
+      .withColumn("shared",
+        col("shared_rare") +
+          size(array_intersect(coalesce(col("hot_a"), emptyArr),
+            coalesce(col("hot_b"), emptyArr))).cast("long"))
       .join(sizes.toDF("a", "sza"), Seq("a"))
       .join(sizes.toDF("b", "szb"), Seq("b"))
       .withColumn("jaccard",
@@ -95,24 +115,44 @@ object Dedup {
     * sharing any full band become candidate pairs (groupBy band key —
     * sublinear, no all-pairs). Returns distinct candidate pairs with
     * their estimated Jaccard (signature agreement rate).
+    *
+    * Skew defenses (ADVICE/VERDICT r1):
+    *  - hot-band cap: a band bucket of M docs emits M²/2 pairs, and a
+    *    web-scale duplicate cluster (boilerplate pages) puts its WHOLE
+    *    cluster in the same bucket in EVERY band — a quadratic bomb.
+    *    Buckets larger than maxBandSize are dropped from candidate
+    *    generation (such mega-clusters are the domain of `exact` dedup;
+    *    the recall loss is only for clusters that big, documented).
+    *  - the self-join carries (bandKey, id) ONLY; signatures are
+    *    re-attached to the deduplicated pairs afterwards, so the
+    *    shuffle and the distinct never move signature arrays.
     */
   def minhashLshCandidates(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
-                           rowsPerBand: Int = 4, idCol: String = "doc_id",
+                           rowsPerBand: Int = 4, maxBandSize: Long = 10000,
+                           idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     val sigs = minhashSignatures(docs, n, numPerms, idCol, textCol)
     val numBands = numPerms / rowsPerBand
-    val banded = sigs.select(col(idCol), col("signature"),
-      posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("bandPos", "band")))
+    val banded = sigs.select(col(idCol),
+      posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("bandPos", "band")),
+      col("signature"))
       .withColumn("bandKey",
         xxhash64(col("band"),
           slice(col("signature"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col(idCol), col("signature"), col("bandKey"))
-    val l = banded.toDF("a", "sigA", "bandKey")
-    val r = banded.toDF("b", "sigB", "bandKey")
+      .select(col(idCol), col("bandKey"))
+    val cool = banded.join(
+      banded.groupBy(col("bandKey")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBandSize).select("bandKey"),
+      Seq("bandKey"), "left_semi")
+      .select(col(idCol), col("bandKey")) // USING join fronts the key — re-fix order
+    val l = cool.toDF("a", "bandKey")
+    val r = cool.toDF("b", "bandKey")
     l.join(r, Seq("bandKey"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sigA"), col("sigB"))
+      .select(col("a"), col("b"))
       .distinct()
+      .join(sigs.toDF("a", "sigA"), Seq("a"))
+      .join(sigs.toDF("b", "sigB"), Seq("b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
           .cast("double") / size(col("sigA")))
@@ -140,23 +180,38 @@ object Dedup {
     * four 16-bit chunks (a pair within distance ≤3 shares at least one
     * chunk — pigeonhole), so candidate generation is a groupBy join,
     * not all-pairs.
+    *
+    * Skew defenses mirror minhashLshCandidates (ADVICE/VERDICT r1): a
+    * 16-bit chunk bucket holds ~N/65536 docs at corpus size N, so at
+    * web scale the within-bucket pairing is quadratic — buckets larger
+    * than maxBucketSize are dropped (recall loss confined to mega-
+    * clusters, which `exact` dedup owns), and the self-join carries
+    * (chunkNo, chunk, id) only; sketches are re-attached after the
+    * pair distinct.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Long = 10000,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "chunk bucketing covers Hamming ≤ 3")
     val withSig = docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash"))
-    val chunked = withSig.select(col(idCol), col("simhash"),
+    val chunked = withSig.select(col(idCol),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunkNo"),
           shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.chunkNo"), col("c.chunk"))
-    val l = chunked.toDF("a", "simA", "chunkNo", "chunk")
-    val r = chunked.toDF("b", "simB", "chunkNo", "chunk")
+      .select(col(idCol), col("c.chunkNo"), col("c.chunk"))
+    val cool = chunked.join(
+      chunked.groupBy(col("chunkNo"), col("chunk")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucketSize).select("chunkNo", "chunk"),
+      Seq("chunkNo", "chunk"), "left_semi")
+      .select(col(idCol), col("chunkNo"), col("chunk")) // USING join fronts the keys
+    val l = cool.toDF("a", "chunkNo", "chunk")
+    val r = cool.toDF("b", "chunkNo", "chunk")
     val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
     l.join(r, Seq("chunkNo", "chunk"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("simA"), col("simB"))
+      .select(col("a"), col("b"))
       .distinct()
+      .join(withSig.toDF("a", "simA"), Seq("a"))
+      .join(withSig.toDF("b", "simB"), Seq("b"))
       .withColumn("hamming", hamming(col("simA"), col("simB")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))

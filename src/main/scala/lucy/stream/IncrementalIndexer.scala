@@ -55,7 +55,7 @@ object IncrementalIndexer {
     * compaction frontier.
     */
   def composite(spark: SparkSession, rootDir: String): CompositeIndex = {
-    val cur = readCurrent(spark, rootDir)
+    val cur = currentOrRecovered(spark, rootDir)
     val base = cur.filter(_.gen >= 0).map(c => LucyIndex(s"$rootDir/base/gen-${c.gen}"))
     val frontier = cur.map(_.compactedThrough).getOrElse(-1L)
     val deltas = listDeltas(spark, rootDir)
@@ -74,7 +74,7 @@ object IncrementalIndexer {
   def compact(spark: SparkSession, rootDir: String,
               config: IndexConfig = IndexConfig()): BuildManifest = {
     import spark.implicits._
-    val cur = readCurrent(spark, rootDir)
+    val cur = currentOrRecovered(spark, rootDir)
     val gen = cur.map(_.gen).getOrElse(-1L)
     val frontier = cur.map(_.compactedThrough).getOrElse(-1L)
     val deltas = listDeltas(spark, rootDir).filter(_._1 > frontier)
@@ -115,22 +115,67 @@ object IncrementalIndexer {
     m
   }
 
-  // ---- current-pointer IO (atomic: temp json dir + pointer dir swap is
-  // avoided by writing a tiny overwrite-mode json dataset; readers take
-  // whichever complete _SUCCESS'd version exists) -----------------------
+  // ---- current-pointer IO (ADVICE r1: generation-numbered pointer
+  // dirs, never overwrite-in-place — an overwrite deletes the old
+  // pointer before the new one commits, so a crash in the window (or a
+  // concurrent reader) would see NO pointer and silently serve deltas
+  // without the base. Writers commit current/p-<n+1>/ and then prune to
+  // the two highest; readers take the highest _SUCCESS'd generation.) ---
+
+  private def pointerGens(spark: SparkSession, rootDir: String): Seq[Long] = {
+    val dir = new Path(s"$rootDir/current")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("p-"))
+      .flatMap(n => n.stripPrefix("p-").toLongOption)
+      .sorted
+  }
 
   private def writeCurrent(spark: SparkSession, rootDir: String, c: CurrentPointer): Unit = {
     import spark.implicits._
-    Seq(c).toDS().coalesce(1).write.mode("overwrite").json(s"$rootDir/current")
+    val next = pointerGens(spark, rootDir).maxOption.getOrElse(0L) + 1
+    Seq(c).toDS().coalesce(1).write.mode("overwrite").json(s"$rootDir/current/p-$next")
+    // prune: keep the two highest generations (the new one + one fallback)
+    val fs = new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pointerGens(spark, rootDir).dropRight(2)
+      .foreach(g => fs.delete(new Path(s"$rootDir/current/p-$g"), true))
   }
 
   def readCurrent(spark: SparkSession, rootDir: String): Option[CurrentPointer] = {
-    if (!Manifest.stageDone(spark, s"$rootDir/current")) return None
     import spark.implicits._
-    spark.read
-      .schema(implicitly[org.apache.spark.sql.Encoder[CurrentPointer]].schema)
-      .json(s"$rootDir/current").as[CurrentPointer].collect().headOption
+    val complete = pointerGens(spark, rootDir)
+      .filter(g => Manifest.stageDone(spark, s"$rootDir/current/p-$g"))
+    complete.lastOption.flatMap { g =>
+      spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[CurrentPointer]].schema)
+        .json(s"$rootDir/current/p-$g").as[CurrentPointer].collect().headOption
+    }
   }
+
+  /** Last-resort recovery (ADVICE r1): no readable pointer (e.g. the
+    * pointer dir was lost) but committed base generations exist — serve
+    * the highest base with a manifest rather than silently dropping the
+    * base. compactedThrough = -1 re-includes all deltas; the kernel
+    * scores at most one posting per (term, doc) per part and compaction
+    * re-deduplicates, so the recovered view is safe, not duplicated.
+    */
+  private def recoverPointer(spark: SparkSession, rootDir: String): Option[CurrentPointer] = {
+    val dir = new Path(s"$rootDir/base")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.stripPrefix("gen-").toLongOption
+        .filter(_ => LucyIndex(st.getPath.toString).manifest(spark).isDefined))
+      .maxOption
+      .map(g => CurrentPointer(g, -1L))
+  }
+
+  private def currentOrRecovered(spark: SparkSession, rootDir: String): Option[CurrentPointer] =
+    readCurrent(spark, rootDir).orElse(recoverPointer(spark, rootDir))
 
   /** Completed deltas (manifest present), ascending by batch id. */
   def listDeltas(spark: SparkSession, rootDir: String): Seq[(Long, LucyIndex)] = {

@@ -64,6 +64,24 @@ class IndexBuilderSpec extends SparkFunSuite {
     }
   }
 
+  test("PARTIAL build with a different fingerprint refuses to resume (ADVICE r1)") {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$tmp/partial-guard"
+    val pages = PagesGen.pages(spark, 100)
+    IndexBuilder.build(pages, dir, fingerprint = "inputA")
+    // simulate a crash after the stages but before the final manifest:
+    // stage outputs + fingerprint marker survive, completed manifest gone
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/meta/build"), true)
+    val e = intercept[IllegalArgumentException] {
+      IndexBuilder.build(PagesGen.pages(spark, 120), dir, fingerprint = "inputB")
+    }
+    assert(e.getMessage.contains("partial build"))
+    // the matching fingerprint may resume and completes
+    val m = IndexBuilder.build(pages, dir, fingerprint = "inputA")
+    assert(m.docs > 0)
+  }
+
   test("resume: crash between segments and manifest re-runs only the tail") {
     import org.apache.hadoop.fs.Path
     val dir = s"$tmp/crash"

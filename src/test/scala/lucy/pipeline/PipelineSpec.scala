@@ -53,6 +53,51 @@ class PipelineSpec extends SparkFunSuite {
     assert(Dedup.simhash64(Array("a", "b", "c")) === Dedup.simhash64(Array("a", "b", "c")))
   }
 
+  test("ngram jaccard is EXACT when the hot-shingle cap engages (ADVICE r1)") {
+    import spark.implicits._
+    // "boiler plate words here" shingles are shared by ALL 12 docs → hot
+    // under cap 5; docs 0/1 additionally share rare shingles. Exact
+    // Jaccard for (0,1) must count hot AND rare shared shingles.
+    val base = "boiler plate words here"
+    val d = (0 until 12).map { i =>
+      val tail =
+        if (i == 0) "alpha beta gamma delta epsilon"
+        else if (i == 1) "alpha beta gamma delta zeta"
+        else s"unique$i only$i stuff$i more$i token$i"
+      (i.toLong, s"$base $tail")
+    }.toDF("doc_id", "text")
+    def pairsAt(cap: Long) =
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.3, maxShingleDf = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val uncapped = pairsAt(Long.MaxValue) // cap never engages → ground truth
+    val capped = pairsAt(5)
+    assert(capped.contains((0L, 1L)), "rare-shingle candidate must survive the cap")
+    assert(capped((0L, 1L)) === uncapped((0L, 1L)),
+      "shared count and jaccard must be exact (hot shingles recovered)")
+    // pairs sharing ONLY hot shingles are not candidates under the cap —
+    // the documented recall tradeoff
+    assert(uncapped.keySet.forall { case (a, b) => capped.contains((a, b)) || a >= 2 })
+  }
+
+  test("minhash LSH and simhash stay bounded on a planted duplicate mega-cluster") {
+    import spark.implicits._
+    // 500 identical docs + 1 small duplicate pair. With maxBandSize /
+    // maxBucketSize 100, the mega-cluster's buckets are dropped (no
+    // 125k-pair blowup) while the small cluster still surfaces (its
+    // buckets are size 2).
+    val d = ((0 until 500).map(i => (i.toLong, "copy paste boiler plate page body text")) ++
+      Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (901L, "alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashLshCandidates(d, n = 3, numPerms = 16, rowsPerBand = 4,
+      maxBandSize = 100).collect()
+    assert(mh.length < 1000, s"mega-cluster must be capped, got ${mh.length} pairs")
+    assert(mh.exists(r => r.getLong(0) == 900L && r.getLong(1) == 901L))
+    val sh = Dedup.simhashPairs(d, maxHamming = 3, maxBucketSize = 100).collect()
+    assert(sh.length < 1000, s"mega-cluster must be capped, got ${sh.length} pairs")
+    assert(sh.exists(r => r.getLong(0) == 900L && r.getLong(1) == 901L))
+  }
+
   test("LSH ANN candidates are a subset ranked identically to brute force") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -114,4 +114,35 @@ class IncrementalSpec extends SparkFunSuite {
     IncrementalIndexer.indexBatch(PagesGen.recrawl(spark, 60, 1000000L), root, 0L)
     assert(IncrementalIndexer.composite(spark, root).segments(spark).count() === before)
   }
+
+  test("pointer: generational commits survive crash windows; lost pointer recovers (ADVICE r1)") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = s"$tmp/pointer"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalIndexer.bootstrap(PagesGen.pages(spark, 120), root)
+    assert(IncrementalIndexer.readCurrent(spark, root)
+      === Some(IncrementalIndexer.CurrentPointer(0L, -1L)))
+
+    // a torn write (new generation dir without _SUCCESS) must not hide
+    // the last committed pointer — the old overwrite-in-place scheme did
+    fs.mkdirs(new Path(s"$root/current/p-99"))
+    assert(IncrementalIndexer.readCurrent(spark, root).map(_.gen) === Some(0L))
+    fs.delete(new Path(s"$root/current/p-99"), true)
+
+    // delta + compact → a NEW pointer generation commits, old pruned to ≤2
+    IncrementalIndexer.indexBatch(
+      spark.range(120, 160).as[Long].map(PagesGen.page _).toDF(), root, 0L)
+    IncrementalIndexer.compact(spark, root)
+    assert(IncrementalIndexer.readCurrent(spark, root).map(_.gen) === Some(1L))
+    val gens = fs.listStatus(new Path(s"$root/current")).map(_.getPath.getName)
+    assert(gens.length <= 2, s"old pointer generations must be pruned: ${gens.mkString(",")}")
+
+    // pointer dir lost entirely → composite recovers the highest base gen
+    fs.delete(new Path(s"$root/current"), true)
+    assert(IncrementalIndexer.readCurrent(spark, root) === None)
+    val comp = IncrementalIndexer.composite(spark, root)
+    assert(comp.parts.exists(_.dir.endsWith("gen-1")), "recovered view must serve the base")
+    assert(comp.segments(spark).count() > 0)
+  }
 }
