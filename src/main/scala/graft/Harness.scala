@@ -40,7 +40,7 @@ object Harness {
     * harness indexes from an older code version are then simply ignored
     * (fresh dir) instead of tripping the builder's fingerprint refusal.
     */
-  private val formatVersion = 1
+  private val formatVersion = 2 // v2: posVarint positions stream (§8.3 r2)
 
   def index(spark: SparkSession, sfDir: String): LucyIndex =
     cache.getOrElseUpdate(sfDir, {

@@ -48,6 +48,70 @@ object SparkEntry {
        |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
        |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
+  /** LucySpec tokenizer WITH 0-based post-filter positions (phrase
+    * oracle; parallel unnest zips term and position in DuckDB).
+    */
+  private val tokspCte =
+    s"""tl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    t -> t <> '' AND length(t) <= 64 AND t NOT IN ($stopList)) AS toks
+       |  FROM documents),
+       |toksp AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tl)""".stripMargin
+
+  /** Phrase BM25 in SQL: adjacency via INTERSECT of per-slot
+    * (doc_id, pos − slotNo); scoring identical to the AND query over the
+    * phrase's distinct terms (LucySpec §8.6 r2).
+    */
+  private def phraseSql(query: String, k: Int): String = {
+    val slots = LucySpec.tokenize(query)
+    val terms = slots.distinct.sorted
+    val tlist = terms.map(t => s"'$t'").mkString(", ")
+    val addend = lucy.query.Bm25.addendSql("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    val intersects = slots.zipWithIndex.map { case (t, j) =>
+      s"SELECT doc_id, pos - $j AS p FROM toksp WHERE term = '$t'"
+    }.mkString("\n  INTERSECT\n  ")
+    s"""WITH $tokspCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toksp GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toksp GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |  (SELECT avg(coalesce(dl.dl, 0)) FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl),
+       |q AS (SELECT unnest([$tlist]) AS term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |ph AS (SELECT DISTINCT doc_id FROM (
+       |  $intersects)),
+       |scored AS (
+       |  SELECT tf.doc_id, sum($addend) AS score, count(*)::BIGINT AS n_terms
+       |  FROM tf JOIN q USING (term) JOIN df ON tf.term = df.term
+       |       JOIN dl USING (doc_id) JOIN ph ON tf.doc_id = ph.doc_id
+       |       CROSS JOIN stats s
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, score, n_terms FROM scored WHERE n_terms = ${terms.length}
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Prefix BM25 in SQL: OR over the ≤ maxPrefixExpand matching corpus
+    * terms in ascending term order — the same expansion rule as
+    * Stats.expandPrefix.
+    */
+  private def prefixSql(prefix: String, k: Int): String = {
+    val addend = lucy.query.Bm25.addendSql("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |  (SELECT avg(coalesce(dl.dl, 0)) FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl),
+       |q AS (SELECT term FROM (SELECT DISTINCT term FROM tf)
+       |      WHERE term LIKE '$prefix%' ORDER BY term LIMIT ${LucySpec.maxPrefixExpand}),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, sum($addend) AS score, count(*)::BIGINT AS n_terms
+       |  FROM tf JOIN q USING (term) JOIN df ON tf.term = df.term
+       |       JOIN dl USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, score, n_terms FROM scored
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Full BM25 in SQL (formula text generated from lucy.query.Bm25 so it
     * cannot drift from the Column version).
     */
@@ -123,6 +187,8 @@ object SparkEntry {
     "bm25_topk_q1" -> ((s, dir) => bm25Query(s, dir, "spark join", QueryMode.And, 25)),
     "bm25_topk_q2" -> ((s, dir) => bm25Query(s, dir, "window filter batch", QueryMode.Or, 10)),
     "bm25_topk_q3" -> ((s, dir) => bm25Query(s, dir, "the data and query", QueryMode.And, 25)),
+    "bm25_phrase_q1" -> ((s, dir) => bm25Query(s, dir, "order fast", QueryMode.Phrase, 25)),
+    "bm25_prefix_q1" -> ((s, dir) => bm25Query(s, dir, "s", QueryMode.Prefix, 25)),
 
     // -- index integrity: decoded segments ≡ SQL tf table ----------------
     "index_postings_roundtrip" -> ((s, dir) => {
@@ -262,6 +328,8 @@ object SparkEntry {
     "bm25_topk_q1" -> bm25Sql("spark join", conjunctive = true, k = 25),
     "bm25_topk_q2" -> bm25Sql("window filter batch", conjunctive = false, k = 10),
     "bm25_topk_q3" -> bm25Sql("the data and query", conjunctive = true, k = 25),
+    "bm25_phrase_q1" -> phraseSql("order fast", k = 25),
+    "bm25_prefix_q1" -> prefixSql("s", k = 25),
 
     "index_postings_roundtrip" ->
       s"""WITH $toksCte

@@ -37,6 +37,12 @@ object LucySpec {
   /** Sorted form for SQL oracles (stable IN-list text). */
   val stopwordsSqlList: String = stopwords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
+  /** Prefix queries expand to at most this many corpus terms, taken in
+    * ascending term order (deterministic, oracle-expressible; the Lucene
+    * maxClauseCount analog).
+    */
+  val maxPrefixExpand: Int = 128
+
   // ---- index layout (SURVEY.md §8.3, §4.3) -----------------------------
   val blockSize: Int = 128
   val seed: Long = 42L

@@ -137,13 +137,16 @@ object IndexBuilder {
     val cleaned = Ingest.cleanPages(pages, config.lang)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Stage 5 input: (docId, docLen, term) → tf. docLen rides the
-      // groupBy key (functionally dependent on docId) so no docmap join.
+      // Stage 5 input: (docId, docLen, term) → tf + sorted positions.
+      // docLen rides the groupBy key (functionally dependent on docId)
+      // so no docmap join; positions per (doc, term) are bounded by tf,
+      // so the collect_list never exceeds one document's tokens.
       val termTfDl = cleaned
         .select(col("docId"), size(col("tokens")).as("docLen"),
-          explode(col("tokens")).as("term"))
+          posexplode(col("tokens")).as(Seq("pos", "term")))
         .groupBy(col("docId"), col("docLen"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
       writeIndex(Ingest.docmap(cleaned), termTfDl, indexDir, config, fingerprint)
     } finally cleaned.unpersist()
   }

@@ -71,4 +71,10 @@ object Ingest {
       .select(col("docId"), explode(col("tokens")).as("term"))
       .groupBy(col("docId"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** (docId, pos, term) — 0-based positions in the post-stopword token
+    * stream (§8.2/§8.3); the naive phrase oracle's input.
+    */
+  def tokPos(cleaned: DataFrame): DataFrame =
+    cleaned.select(col("docId"), posexplode(col("tokens")).as(Seq("pos", "term")))
 }

@@ -17,6 +17,13 @@ import lucy.LucySpec
   *  - dlsVarint:  count entries, docLen in doc order (WAND computes
   *    exact BM25 inside the kernel, so norms travel with the block —
   *    a driver-side docLen lookup per candidate would not distribute).
+  *  - posVarint:  per doc in doc order, its tf term positions
+  *    (0-based indices into the POST-stopword token sequence, §8.2):
+  *    first position absolute, then gaps (≥ 1). Decoding needs the tfs,
+  *    so positions decode AFTER (and only when phrase mode asks —
+  *    a separate parquet column, pruned away by non-phrase scans of the
+  *    segments table when a projection drops it; the query paths carry
+  *    it so one block cache serves both modes).
   *
   * Block-max bound: (maxTf, minDocLen) rather than a baked maxImpact —
   * impact is monotone ↑ in tf and ↓ in docLen, so
@@ -39,7 +46,8 @@ case class PostingBlock(
     minDocLen: Int,
     docsVarint: Array[Byte],
     tfsVarint: Array[Byte],
-    dlsVarint: Array[Byte])
+    dlsVarint: Array[Byte],
+    posVarint: Array[Byte])
 
 /** A decoded block: parallel arrays. */
 final case class DecodedBlock(docIds: Array[Long], tfs: Array[Int], docLens: Array[Int])
@@ -51,9 +59,10 @@ case class SegmentRow(termHash: Int, term: String, salt: Int, blockNo: Int,
                       firstDocId: Long, lastDocId: Long, count: Int,
                       maxTf: Int, minDocLen: Int,
                       docsVarint: Array[Byte], tfsVarint: Array[Byte],
-                      dlsVarint: Array[Byte], partId: Int) {
+                      dlsVarint: Array[Byte], posVarint: Array[Byte], partId: Int) {
   def toBlock: PostingBlock = PostingBlock(termHash, term, salt, blockNo,
-    firstDocId, lastDocId, count, maxTf, minDocLen, docsVarint, tfsVarint, dlsVarint)
+    firstDocId, lastDocId, count, maxTf, minDocLen, docsVarint, tfsVarint, dlsVarint,
+    posVarint)
 }
 
 object PostingBlock {
@@ -61,13 +70,15 @@ object PostingBlock {
   /** Pack one (term, salt)'s postings — already sorted by docId — into
     * block rows. Streaming: consumes the iterator, O(blockSize) memory,
     * so a head term with 10^9 postings never materializes (the reason
-    * this is NOT collect_list, SURVEY.md §2.4 A5).
+    * this is NOT collect_list, SURVEY.md §2.4 A5). Each posting carries
+    * its term positions (ascending, tf of them).
     */
   def pack(termHash: Int, term: String, salt: Int,
-           postings: Iterator[(Long, Int, Int)]): Iterator[PostingBlock] = {
+           postings: Iterator[(Long, Int, Int, Array[Int])]): Iterator[PostingBlock] = {
     val docIds = new Array[Long](LucySpec.blockSize)
     val tfs = new Array[Int](LucySpec.blockSize)
     val dls = new Array[Int](LucySpec.blockSize)
+    val poss = new Array[Array[Int]](LucySpec.blockSize)
     var blockNo = 0
 
     new Iterator[PostingBlock] {
@@ -76,11 +87,14 @@ object PostingBlock {
         var n = 0
         var maxTf = 0
         var minDl = Int.MaxValue
+        var nPos = 0
         while (n < LucySpec.blockSize && postings.hasNext) {
-          val (d, tf, dl) = postings.next()
+          val (d, tf, dl, ps) = postings.next()
           require(n == 0 || d > docIds(n - 1),
             s"postings for ($term,$salt) not strictly ascending at $d")
-          docIds(n) = d; tfs(n) = tf; dls(n) = dl
+          require(ps.length == tf, s"($term,$salt,$d): ${ps.length} positions for tf=$tf")
+          docIds(n) = d; tfs(n) = tf; dls(n) = dl; poss(n) = ps
+          nPos += tf
           if (tf > maxTf) maxTf = tf
           if (dl < minDl) minDl = dl
           n += 1
@@ -92,9 +106,25 @@ object PostingBlock {
         val dlsL = new Array[Long](n)
         i = 0
         while (i < n) { tfsM1(i) = (tfs(i) - 1).toLong; dlsL(i) = dls(i).toLong; i += 1 }
+        // positions: per doc, absolute first then gaps
+        val posDeltas = new Array[Long](nPos)
+        var w = 0
+        i = 0
+        while (i < n) {
+          val ps = poss(i)
+          var j = 0
+          while (j < ps.length) {
+            require(j == 0 || ps(j) > ps(j - 1),
+              s"($term,$salt,${docIds(i)}): positions not strictly ascending")
+            posDeltas(w) = if (j == 0) ps(0).toLong else (ps(j) - ps(j - 1)).toLong
+            w += 1; j += 1
+          }
+          i += 1
+        }
         val b = PostingBlock(termHash, term, salt, blockNo,
           docIds(0), docIds(n - 1), n, maxTf, minDl,
-          Varint.encodeAll(gaps), Varint.encodeAll(tfsM1), Varint.encodeAll(dlsL))
+          Varint.encodeAll(gaps), Varint.encodeAll(tfsM1), Varint.encodeAll(dlsL),
+          Varint.encodeAll(posDeltas))
         blockNo += 1
         b
       }
@@ -110,5 +140,29 @@ object PostingBlock {
     val tfs = Varint.decodeAll(b.tfsVarint, b.count).map(v => (v + 1).toInt)
     val dls = Varint.decodeAll(b.dlsVarint, b.count).map(_.toInt)
     DecodedBlock(docIds, tfs, dls)
+  }
+
+  /** Positions per doc of an already-decoded block (tfs give the per-doc
+    * stream lengths). Only phrase evaluation pays this decode.
+    */
+  def decodePositions(b: PostingBlock, tfs: Array[Int]): Array[Array[Int]] = {
+    val total = { var s = 0; var i = 0; while (i < tfs.length) { s += tfs(i); i += 1 }; s }
+    val deltas = Varint.decodeAll(b.posVarint, total)
+    val out = new Array[Array[Int]](tfs.length)
+    var w = 0
+    var i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var j = 0
+      var acc = 0
+      while (j < tfs(i)) {
+        acc = if (j == 0) deltas(w).toInt else acc + deltas(w).toInt
+        ps(j) = acc
+        w += 1; j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
   }
 }

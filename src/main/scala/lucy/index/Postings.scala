@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import lucy.LucySpec
 
-/** One (term, doc) posting with everything the block packer needs. */
+/** One (term, doc) posting with everything the block packer needs.
+  * positions: ascending 0-based indices into the post-stopword token
+  * sequence (tf of them) — the phrase-query stream (§8.3).
+  */
 case class TermPostingRow(termHash: Int, term: String, salt: Int,
-                          docId: Long, tf: Long, docLen: Int)
+                          docId: Long, tf: Long, docLen: Int,
+                          positions: Seq[Int])
 
 /** Posting-list construction (SURVEY.md §3.1 stages 5–9).
   *
@@ -44,7 +48,7 @@ object Postings {
           .otherwise(pmod(hash(col("docId")), col("salts"))))
       .withColumn("termHash", hash(col("term")))
       .select(col("termHash"), col("term"), col("salt"), col("docId"),
-        col("tf"), col("docLen"))
+        col("tf"), col("docLen"), col("positions"))
 
   /** Range exchange + in-partition sort + streaming pack. */
   def packBlocks(saltedDf: DataFrame, numPartitions: Int): Dataset[PostingBlock] = {
@@ -57,7 +61,8 @@ object Postings {
       .mapPartitions { rows =>
         RunIterator(rows)(r => (r.termHash, r.term, r.salt)).flatMap {
           case ((h, t, s), run) =>
-            PostingBlock.pack(h, t, s, run.map(r => (r.docId, r.tf.toInt, r.docLen)))
+            PostingBlock.pack(h, t, s,
+              run.map(r => (r.docId, r.tf.toInt, r.docLen, r.positions.toArray)))
         }
       }
   }

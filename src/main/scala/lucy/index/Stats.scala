@@ -34,6 +34,17 @@ object Stats {
       .toMap
   }
 
+  /** Prefix expansion (§8.6 r2): matching terms in ascending order,
+    * capped at maxExpand. StringStartsWith pushes to the parquet scan of
+    * the term-sorted stats table, so this prunes like a range probe.
+    */
+  def expandPrefix(termStatsDf: DataFrame, prefix: String, maxExpand: Int): Seq[String] =
+    termStatsDf.select(col("term"))
+      .filter(col("term").startsWith(prefix))
+      .distinct()
+      .orderBy(col("term")).limit(maxExpand)
+      .collect().map(_.getString(0)).toSeq
+
   /** A8 — vocabulary size (approximate for metrics display). */
   def approxVocab(termTf: DataFrame): Long =
     termTf.agg(approx_count_distinct(col("term")).as("v")).head().getLong(0)

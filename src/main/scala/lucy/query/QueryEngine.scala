@@ -52,8 +52,13 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
     terms.flatMap(t => dfCache(t).map(t -> _)).toMap
   }
 
+  // prefix → expanded terms, cached (immutable index ⇒ never invalidates)
+  private val prefixCache = TrieMap[String, Seq[String]]()
+
   def search(query: String, mode: QueryMode.Value = QueryMode.And,
              k: Int = LucySpec.defaultK): DataFrame =
     Searcher.searchWith(spark, segmentsDf, query, mode, k, stats, lookup,
-      blockCache = Some(blockCache))
+      blockCache = Some(blockCache),
+      expand = (p, max) =>
+        prefixCache.getOrElseUpdate(p, Stats.expandPrefix(termStatsDf, p, max)))
 }

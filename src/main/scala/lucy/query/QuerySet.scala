@@ -2,10 +2,12 @@ package lucy.query
 
 import lucy.LucySpec
 
-/** The frozen 20-query reference set (FIXTURES.md §3): 10 AND + 10 OR
-  * covering single tail/head terms, 2–4 mixed-term queries, stopword-only
-  * and stopword-laden input, duplicate terms, absent terms, punctuation/
-  * case normalization, and k ∈ {1, 10, 100}. Goldens generated from
+/** The reference query set (FIXTURES.md §3): the frozen 20 r1 queries
+  * (10 AND + 10 OR covering single tail/head terms, 2–4 mixed-term
+  * queries, stopword-only and stopword-laden input, duplicate terms,
+  * absent terms, punctuation/case normalization, k ∈ {1, 10, 100}),
+  * extended in r2 with phrase and prefix queries (stopword elision,
+  * absent-term phrase, broad + narrow prefixes). Goldens generated from
   * LucySpec via NaiveSearch live in src/test/resources/golden_queries.json
   * (SURVEY.md §5.2 rank-identity).
   */
@@ -33,8 +35,19 @@ object QuerySet {
     Q("or_punct", "Spark, SHUFFLE!", QueryMode.Or, 10),
     Q("or_absent", "zzzmissing qqqnope", QueryMode.Or, 10),
     Q("or_k1", "pruning", QueryMode.Or, 1),
-    Q("or_k100", "bucket salting skew", QueryMode.Or, 100))
+    Q("or_k100", "bucket salting skew", QueryMode.Or, 100),
+    // r2: phrase queries (adjacency in the post-stopword position stream)
+    Q("phrase_head2", "spark shuffle", QueryMode.Phrase, 10),
+    Q("phrase_tail2", "wand heap", QueryMode.Phrase, 10),
+    Q("phrase_stopelide", "spark the shuffle", QueryMode.Phrase, 10),
+    Q("phrase_absent", "spark zzzmissing", QueryMode.Phrase, 10),
+    Q("phrase_dup", "spark spark", QueryMode.Phrase, 10),
+    // r2: prefix queries (ascending-term expansion, capped)
+    Q("prefix_wa", "wa", QueryMode.Prefix, 10),
+    Q("prefix_s", "s", QueryMode.Prefix, 25))
 
   require(reference.map(_.id).distinct.length == reference.length)
   require(reference.count(_.mode == QueryMode.And) == 10)
+  require(reference.count(_.mode == QueryMode.Phrase) == 5)
+  require(reference.count(_.mode == QueryMode.Prefix) == 2)
 }

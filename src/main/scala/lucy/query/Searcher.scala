@@ -12,9 +12,11 @@ import lucy.index.{PostingBlock, RunIterator, SearchableIndex, Stats}
 private[query] case class BucketedBlock(
     bucket: Long, srcPart: Int, termHash: Int, term: String, salt: Int, blockNo: Int,
     firstDocId: Long, lastDocId: Long, count: Int, maxTf: Int, minDocLen: Int,
-    docsVarint: Array[Byte], tfsVarint: Array[Byte], dlsVarint: Array[Byte]) {
+    docsVarint: Array[Byte], tfsVarint: Array[Byte], dlsVarint: Array[Byte],
+    posVarint: Array[Byte]) {
   def toBlock: PostingBlock = PostingBlock(termHash, term, salt, blockNo,
-    firstDocId, lastDocId, count, maxTf, minDocLen, docsVarint, tfsVarint, dlsVarint)
+    firstDocId, lastDocId, count, maxTf, minDocLen, docsVarint, tfsVarint, dlsVarint,
+    posVarint)
 }
 
 /** Top-k BM25 over the segment index — entry point 2 (SURVEY.md §3.2).
@@ -84,7 +86,7 @@ final class BlockCache(maxBytes: Long = 256L << 20) {
   def put(term: String, groups: Groups): Unit = synchronized {
     if (map.containsKey(term)) return
     val sz = groups.iterator.flatMap(_._2).map(b =>
-      b.docsVarint.length + b.tfsVarint.length + b.dlsVarint.length + 64L).sum
+      b.docsVarint.length + b.tfsVarint.length + b.dlsVarint.length + b.posVarint.length + 64L).sum
     map.put(term, (sz, groups))
     bytes += sz
     val it = map.entrySet().iterator()
@@ -116,7 +118,8 @@ object Searcher {
              mode: QueryMode.Value = QueryMode.And,
              k: Int = LucySpec.defaultK): DataFrame =
     searchWith(spark, index.segments(spark), query, mode, k, index.corpusStats(spark),
-      terms => Stats.lookupTerms(index.termStats(spark), terms))
+      terms => Stats.lookupTerms(index.termStats(spark), terms),
+      expand = (p, max) => Stats.expandPrefix(index.termStats(spark), p, max))
 
   /** Search with externally supplied plan inputs. QueryEngine passes a
     * REUSED segments DataFrame and cached stats: re-creating the scan per
@@ -128,24 +131,44 @@ object Searcher {
                  mode: QueryMode.Value, k: Int, stats: lucy.index.CorpusStats,
                  lookup: Seq[String] => Map[String, lucy.index.TermStats],
                  gatherMaxPostings: Long = defaultGatherMaxPostings,
-                 blockCache: Option[BlockCache] = None): DataFrame = {
-    val terms = LucySpec.queryTerms(query)
+                 blockCache: Option[BlockCache] = None,
+                 expand: (String, Int) => Seq[String] = null): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), resultSchema)
+
+    // term set (+ phrase slots) by mode (§8.6 r2)
+    val slots: Array[String] = mode match {
+      case QueryMode.Phrase => LucySpec.tokenize(query)
+      case _ => Array.empty
+    }
+    val terms: Array[String] = mode match {
+      case QueryMode.Phrase => slots.distinct.sorted
+      case QueryMode.Prefix =>
+        val p = LucySpec.tokenize(query).headOption.getOrElse("")
+        if (p.isEmpty) return empty
+        require(expand != null, "Prefix mode needs a term-expansion source")
+        expand(p, LucySpec.maxPrefixExpand).toArray.sorted
+      case _ => LucySpec.queryTerms(query)
+    }
     if (terms.isEmpty) return empty
 
     val dfMap = lookup(terms.toSeq)
-    // terms absent from the corpus: AND can never match; OR drops them
+    // terms absent from the corpus: AND/Phrase can never match; OR drops them
+    val conj = mode == QueryMode.And || mode == QueryMode.Phrase
     val present = terms.filter(dfMap.contains)
-    if (mode == QueryMode.And && present.length < terms.length) return empty
+    if (conj && present.length < terms.length) return empty
     if (present.isEmpty) return empty
+    val phraseSlots: Array[Int] =
+      if (mode == QueryMode.Phrase)
+        slots.map(t => java.util.Arrays.binarySearch(present.asInstanceOf[Array[AnyRef]], t))
+      else Array.empty
 
     // Tiny immutable plan: captured in the task closure — at <1 KB the
     // closure IS the broadcast (an explicit torrent broadcast per query
     // costs more than it saves; "broadcasting query-term stats" at this
     // size means shipping them with the task).
     val plan = QueryPlan(present, present.map(dfMap(_).df), stats.n, stats.avgdl,
-      conjunctive = mode == QueryMode.And, k = k)
+      conjunctive = conj, k = k, phraseSlots = phraseSlots)
 
     val hashes = present.map(t => Hashing.termHash(t).asInstanceOf[Any])
     val pruned = segments
@@ -200,7 +223,8 @@ object Searcher {
             col("term").isin(missing.map(_.asInstanceOf[Any]).toSeq: _*))
           .select(col("srcPart"), col("termHash"), col("term"), col("salt"),
             col("blockNo"), col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"),
-            col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+            col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"),
+        col("posVarint"))
           .withColumn("bucket", lit(0L))
           .as[BucketedBlock]
           .collect()
@@ -236,7 +260,8 @@ object Searcher {
       .withColumn("bucket", lit(0L))
       .select(col("bucket"), col("srcPart"), col("termHash"), col("term"), col("salt"),
         col("blockNo"), col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"),
-        col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+        col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"),
+        col("posVarint"))
       .as[BucketedBlock]
       .mapPartitions { rows =>
         val sorted = rows.toArray.sortBy(r => (r.term, r.salt, r.srcPart, r.firstDocId))
@@ -276,7 +301,8 @@ object Searcher {
         explode(sequence(expr(s"firstDocId div ${width}L"), expr(s"lastDocId div ${width}L"))))
       .select(col("bucket"), col("srcPart"), col("termHash"), col("term"), col("salt"),
         col("blockNo"), col("firstDocId"), col("lastDocId"), col("count"), col("maxTf"),
-        col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"))
+        col("minDocLen"), col("docsVarint"), col("tfsVarint"), col("dlsVarint"),
+        col("posVarint"))
       .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("salt"), col("srcPart"),
         col("firstDocId"))

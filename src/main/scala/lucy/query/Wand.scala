@@ -8,7 +8,12 @@ import lucy.index.{DecodedBlock, PostingBlock}
   * terms are distinct + ascending — the normative summation order.
   */
 case class QueryPlan(terms: Array[String], dfs: Array[Long], n: Long,
-                     avgdl: Double, conjunctive: Boolean, k: Int) {
+                     avgdl: Double, conjunctive: Boolean, k: Int,
+                     phraseSlots: Array[Int] = Array.empty) {
+  // phraseSlots: for phrase queries, the index into `terms` of each
+  // query-token slot in original order (empty = not a phrase). Phrase
+  // implies conjunctive; matching docs additionally need the slots'
+  // positions contiguous (LucySpec §8.6 r2).
   def termIndex(t: String): Int = java.util.Arrays.binarySearch(terms.asInstanceOf[Array[AnyRef]], t)
 }
 
@@ -29,11 +34,22 @@ private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
                                   endInclusive: Long, avgdl: Double) {
   private var bi = 0
   private var decoded: DecodedBlock = null
+  private var decodedPos: Array[Array[Int]] = null // lazy, phrase mode only
   private var pos = 0
   var docId: Long = -1L
   var exhausted: Boolean = false
 
-  private def exhaust(): Unit = { exhausted = true; docId = Long.MaxValue; decoded = null }
+  private def exhaust(): Unit = {
+    exhausted = true; docId = Long.MaxValue; decoded = null; decodedPos = null
+  }
+
+  /** Term positions of the current document (phrase verification).
+    * Decoded lazily per block; only phrase queries pay it.
+    */
+  def positions: Array[Int] = {
+    if (decodedPos == null) decodedPos = PostingBlock.decodePositions(blocks(bi), decoded.tfs)
+    decodedPos(pos)
+  }
 
   /** Upper bound of the remaining stream's impact (suffix max over
     * remaining blocks of impact(maxTf, minDocLen) — monotone bounds,
@@ -66,7 +82,7 @@ private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
     if (exhausted) return
     if (decoded != null && docId >= target) return // already positioned past target
     while (bi < blocks.length && blocks(bi).lastDocId < target) {
-      bi += 1; decoded = null; pos = 0
+      bi += 1; decoded = null; decodedPos = null; pos = 0
     }
     if (bi >= blocks.length) { exhaust(); return }
     if (blocks(bi).firstDocId > endInclusive) exhaust() // rest of stream out of range
@@ -90,13 +106,13 @@ private[query] final class Cursor(val termIdx: Int, blocks: Array[PostingBlock],
     if (decoded != null && docId >= target) return
     // skip whole blocks by metadata
     while (bi < blocks.length && blocks(bi).lastDocId < target) {
-      bi += 1; decoded = null; pos = 0
+      bi += 1; decoded = null; decodedPos = null; pos = 0
     }
     if (bi >= blocks.length) { exhaust(); return }
     if (decoded == null) { decoded = PostingBlock.decode(blocks(bi)); pos = 0 }
     while (pos < decoded.docIds.length && decoded.docIds(pos) < target) pos += 1
     if (pos >= decoded.docIds.length) {
-      bi += 1; decoded = null; pos = 0
+      bi += 1; decoded = null; decodedPos = null; pos = 0
       advanceTo(target) // next block (first docId may still be < target across gaps)
       return
     }
@@ -340,15 +356,19 @@ object Wand {
       }
       if (!done) {
         if (aligned) {
-          // dense fast path: score addends in ascending term order (§8.4)
-          var score = 0.0
-          var u = 0
-          while (u < nQ) {
-            val c = atCursor(u)
-            score += weights(u) * LucySpec.impact(c.tf, c.docLen, plan.avgdl)
-            u += 1
+          // phrase mode: adjacency check before scoring (positions decode
+          // only here — non-matching docs skip it after the anchor scan)
+          if (plan.phraseSlots.isEmpty || phraseMatches(atCursor, plan.phraseSlots)) {
+            // dense fast path: score addends in ascending term order (§8.4)
+            var score = 0.0
+            var u = 0
+            while (u < nQ) {
+              val c = atCursor(u)
+              score += weights(u) * LucySpec.impact(c.tf, c.docLen, plan.avgdl)
+              u += 1
+            }
+            offer(candidate, score, nQ)
           }
-          offer(candidate, score, nQ)
           if (candidate == Long.MaxValue) done = true
           else candidate += 1
         } else {
@@ -357,6 +377,39 @@ object Wand {
         }
       }
     }
+  }
+
+  /** True iff some start p has slot j's term at position p+j for every j
+    * (positions are ascending per cursor). Anchored on the slot with the
+    * fewest positions; the rest verified by binary search.
+    */
+  private def phraseMatches(atCursor: Array[Cursor], slots: Array[Int]): Boolean = {
+    var anchor = 0
+    var anchorLen = Int.MaxValue
+    var j = 0
+    while (j < slots.length) {
+      val len = atCursor(slots(j)).positions.length
+      if (len < anchorLen) { anchorLen = len; anchor = j }
+      j += 1
+    }
+    val anchorPs = atCursor(slots(anchor)).positions
+    var i = 0
+    while (i < anchorPs.length) {
+      val start = anchorPs(i) - anchor
+      if (start >= 0) {
+        var ok = true
+        var s = 0
+        while (ok && s < slots.length) {
+          if (s != anchor &&
+            java.util.Arrays.binarySearch(atCursor(slots(s)).positions, start + s) < 0)
+            ok = false
+          s += 1
+        }
+        if (ok) return true
+      }
+      i += 1
+    }
+    false
   }
 
   /** OR mode: classic WAND pivoting on cumulative remaining upper

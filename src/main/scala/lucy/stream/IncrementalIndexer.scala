@@ -96,16 +96,17 @@ object IncrementalIndexer {
     val postings = parts.zipWithIndex.map { case (p, i) =>
       p.segments(spark).as[SegmentRow].flatMap { r =>
         val d = PostingBlock.decode(r.toBlock)
+        val ps = PostingBlock.decodePositions(r.toBlock, d.tfs)
         d.docIds.indices.iterator.map { j =>
-          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j), i)
+          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j), ps(j).toSeq, i)
         }
-      }.toDF("term", "docId", "tf", "docLen", "srcIdx")
+      }.toDF("term", "docId", "tf", "docLen", "positions", "srcIdx")
     }.reduce(_ unionByName _)
 
     val kept = postings
       .join(winners.select(col("docId"), col("winSrc")), Seq("docId"))
       .filter(col("srcIdx") === col("winSrc"))
-      .select(col("docId"), col("docLen"), col("term"), col("tf"))
+      .select(col("docId"), col("docLen"), col("term"), col("tf"), col("positions"))
 
     val newGen = gen + 1
     val maxDelta = deltas.map(_._1).maxOption.getOrElse(frontier)

@@ -32,10 +32,11 @@ object GenGoldens {
     val cleaned = Ingest.cleanPages(PagesGen.pages(spark, corpusSize)).cache()
     val docmap = Ingest.docmap(cleaned)
     val termTf = Ingest.termTf(cleaned)
+    val tokPos = Ingest.tokPos(cleaned)
     val stats = Stats.corpusStats(docmap)
 
     val lines = QuerySet.reference.map { q =>
-      val rows = NaiveSearch.search(termTf, docmap, stats, q.query, q.mode, q.k).collect()
+      val rows = NaiveSearch.forQuery(termTf, tokPos, docmap, stats, q.query, q.mode, q.k).collect()
       val hits = rows.map { r =>
         s"""{"docId":${r.getLong(0)},"scoreBits":${java.lang.Double.doubleToLongBits(r.getDouble(1))},"nTerms":${r.getInt(2)}}"""
       }.mkString("[", ",", "]")

@@ -65,7 +65,8 @@ object ProfileGather {
           r.getAs[Int]("blockNo"), r.getAs[Long]("firstDocId"), r.getAs[Long]("lastDocId"),
           r.getAs[Int]("count"), r.getAs[Int]("maxTf"), r.getAs[Int]("minDocLen"),
           r.getAs[Array[Byte]]("docsVarint"), r.getAs[Array[Byte]]("tfsVarint"),
-          r.getAs[Array[Byte]]("dlsVarint")), r.getAs[Int]("srcPart"))
+          r.getAs[Array[Byte]]("dlsVarint"), r.getAs[Array[Byte]]("posVarint")),
+          r.getAs[Int]("srcPart"))
       }
       val groups = blocks.groupBy(b => (b._1.term, b._1.salt, b._2)).toSeq.map {
         case ((t, _, _), g) =>

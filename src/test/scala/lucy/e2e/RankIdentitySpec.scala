@@ -33,25 +33,26 @@ class RankIdentitySpec extends SparkFunSuite {
     val cleaned = Ingest.cleanPages(pages)
     val docmap = Ingest.docmap(cleaned)
     val termTf = Ingest.termTf(cleaned)
-    (LucyIndex(dir), termTf, docmap, Stats.corpusStats(docmap))
+    val tokPos = Ingest.tokPos(cleaned)
+    (LucyIndex(dir), termTf, tokPos, docmap, Stats.corpusStats(docmap))
   }
 
-  test("goldens cover all 20 reference queries") {
+  test("goldens cover all reference queries") {
     assert(goldens.keySet === QuerySet.reference.map(_.id).toSet)
   }
 
-  test("naive engine is rank-identical to goldens (20/20)") {
-    val (_, termTf, docmap, stats) = env
+  test("naive engine is rank-identical to goldens") {
+    val (_, termTf, tokPos, docmap, stats) = env
     QuerySet.reference.foreach { q =>
-      val got = NaiveSearch.search(termTf, docmap, stats, q.query, q.mode, q.k)
+      val got = NaiveSearch.forQuery(termTf, tokPos, docmap, stats, q.query, q.mode, q.k)
         .collect().map(r => GoldenHit(r.getLong(0),
           java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getInt(2)))
       assert(got.toSeq === goldens(q.id).hits.toSeq, s"naive ${q.id}")
     }
   }
 
-  test("WAND fast path is rank-identical to goldens (20/20)") {
-    val (index, _, _, _) = env
+  test("WAND fast path is rank-identical to goldens") {
+    val (index, _, _, _, _) = env
     QuerySet.reference.foreach { q =>
       val got = Searcher.search(spark, index, q.query, q.mode, q.k)
         .collect().map(r => GoldenHit(r.getLong(0),

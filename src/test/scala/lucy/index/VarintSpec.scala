@@ -38,7 +38,13 @@ class VarintSpec extends AnyFunSuite {
       var docId = 0L
       val postings = (0 until n).map { _ =>
         docId += 1 + rnd.nextInt(1 << 20)
-        (docId, 1 + rnd.nextInt(50), 1 + rnd.nextInt(500))
+        val tf = 1 + rnd.nextInt(50)
+        // tf strictly-ascending random positions
+        val ps = {
+          var p = -1
+          Array.fill(tf) { p += 1 + rnd.nextInt(20); p }
+        }
+        (docId, tf, 1 + rnd.nextInt(500), ps)
       }
       val blocks = PostingBlock.pack(13, "t", 0, postings.iterator).toVector
       assert(blocks.length === (n + 127) / 128)
@@ -51,9 +57,10 @@ class VarintSpec extends AnyFunSuite {
         assert(d.docIds.last === b.lastDocId)
         assert(d.tfs.max <= b.maxTf)
         assert(d.docLens.min >= b.minDocLen)
-        d.docIds.indices.map(i => (d.docIds(i), d.tfs(i), d.docLens(i)))
+        val ps = PostingBlock.decodePositions(b, d.tfs)
+        d.docIds.indices.map(i => (d.docIds(i), d.tfs(i), d.docLens(i), ps(i).toSeq))
       }
-      assert(decoded === postings.toVector)
+      assert(decoded === postings.toVector.map(p => (p._1, p._2, p._3, p._4.toSeq)))
       // blockNo sequential
       assert(blocks.map(_.blockNo) === blocks.indices.toVector)
     }
@@ -61,7 +68,14 @@ class VarintSpec extends AnyFunSuite {
 
   test("pack rejects non-ascending docIds") {
     intercept[IllegalArgumentException] {
-      PostingBlock.pack(0, "t", 0, Iterator((5L, 1, 1), (5L, 1, 1))).toVector
+      PostingBlock.pack(0, "t", 0,
+        Iterator((5L, 1, 1, Array(0)), (5L, 1, 1, Array(0)))).toVector
+    }
+  }
+
+  test("pack rejects positions inconsistent with tf") {
+    intercept[IllegalArgumentException] {
+      PostingBlock.pack(0, "t", 0, Iterator((5L, 2, 3, Array(1)))).toVector
     }
   }
 }

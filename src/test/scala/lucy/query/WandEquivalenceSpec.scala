@@ -15,16 +15,16 @@ class WandEquivalenceSpec extends SparkFunSuite {
 
   private lazy val tmp = Files.createTempDirectory("lucy-eq").toString
 
-  private def buildBoth(n: Long, cfg: IndexConfig, tag: String) = {
+  private case class Env(index: LucyIndex, termTf: DataFrame, tokPos: DataFrame,
+                         docmap: DataFrame, stats: CorpusStats)
+
+  private def buildBoth(n: Long, cfg: IndexConfig, tag: String): Env = {
     val pages = PagesGen.pages(spark, n)
     val dir = s"$tmp/$tag"
     IndexBuilder.build(pages, dir, cfg)
-    val index = LucyIndex(dir)
     val cleaned = Ingest.cleanPages(pages)
-    val docmap = Ingest.docmap(cleaned)
-    val termTf = Ingest.termTf(cleaned)
-    val stats = Stats.corpusStats(docmap)
-    (index, termTf, docmap, stats)
+    Env(LucyIndex(dir), Ingest.termTf(cleaned), Ingest.tokPos(cleaned),
+      Ingest.docmap(cleaned), Stats.corpusStats(Ingest.docmap(cleaned)))
   }
 
   private def assertSame(fast: DataFrame, naive: DataFrame, ctx: String): Unit = {
@@ -41,6 +41,15 @@ class WandEquivalenceSpec extends SparkFunSuite {
 
   private val queries = Seq(
     ("spark", QueryMode.And, 10),
+    ("spark shuffle", QueryMode.Phrase, 10),      // head-head phrase
+    ("wand heap", QueryMode.Phrase, 10),          // tail phrase
+    ("spark the shuffle", QueryMode.Phrase, 10),  // stopword elision
+    ("spark spark", QueryMode.Phrase, 10),        // repeated slot
+    ("spark zzznotfound", QueryMode.Phrase, 10),  // absent term
+    ("the and", QueryMode.Phrase, 10),            // stopword-only phrase
+    ("wa", QueryMode.Prefix, 10),                 // wand/warc/watermark
+    ("s", QueryMode.Prefix, 25),                  // broad expansion
+    ("zzz", QueryMode.Prefix, 10),                // no matching terms
     ("spark shuffle", QueryMode.And, 10),
     ("spark shuffle", QueryMode.Or, 10),
     ("spark shuffle partition index", QueryMode.And, 10),
@@ -66,27 +75,27 @@ class WandEquivalenceSpec extends SparkFunSuite {
   private def searchForced(index: LucyIndex, q: String, m: QueryMode.Value, k: Int,
                            gatherMax: Long): DataFrame =
     Searcher.searchWith(spark, index.segments(spark), q, m, k, index.corpusStats(spark),
-      ts => Stats.lookupTerms(index.termStats(spark), ts), gatherMax)
+      ts => Stats.lookupTerms(index.termStats(spark), ts), gatherMax,
+      expand = (p, max) => Stats.expandPrefix(index.termStats(spark), p, max))
 
   test("WAND == naive on a 600-doc corpus (unsalted), all execution shapes") {
-    val (index, termTf, docmap, stats) = buildBoth(600, IndexConfig(), "unsalted")
+    val env = buildBoth(600, IndexConfig(), "unsalted")
     queries.foreach { case (q, m, k) =>
-      val naive = NaiveSearch.search(termTf, docmap, stats, q, m, k)
-      assertSame(searchForced(index, q, m, k, Long.MaxValue), naive, s"gather[$q/$m/k=$k]")
-      assertSame(searchForced(index, q, m, k, 0L), naive, s"dist[$q/$m/k=$k]")
+      val naive = NaiveSearch.forQuery(env.termTf, env.tokPos, env.docmap, env.stats, q, m, k)
+      assertSame(searchForced(env.index, q, m, k, Long.MaxValue), naive, s"gather[$q/$m/k=$k]")
+      assertSame(searchForced(env.index, q, m, k, 0L), naive, s"dist[$q/$m/k=$k]")
     }
   }
 
   test("WAND == naive with aggressive salting (threshold 50, maxSalts 8)") {
-    val (index, termTf, docmap, stats) =
-      buildBoth(600, IndexConfig(saltDfThreshold = 50, maxSalts = 8), "salted")
+    val env = buildBoth(600, IndexConfig(saltDfThreshold = 50, maxSalts = 8), "salted")
     // head terms have df ≫ 50 → multiple salt streams per term
-    val salts = index.segments(spark).select("salt").distinct().count()
+    val salts = env.index.segments(spark).select("salt").distinct().count()
     assert(salts > 1, "salting must actually engage")
     queries.foreach { case (q, m, k) =>
-      val naive = NaiveSearch.search(termTf, docmap, stats, q, m, k)
-      assertSame(searchForced(index, q, m, k, Long.MaxValue), naive, s"salted-gather[$q/$m/k=$k]")
-      assertSame(searchForced(index, q, m, k, 0L), naive, s"salted-dist[$q/$m/k=$k]")
+      val naive = NaiveSearch.forQuery(env.termTf, env.tokPos, env.docmap, env.stats, q, m, k)
+      assertSame(searchForced(env.index, q, m, k, Long.MaxValue), naive, s"salted-gather[$q/$m/k=$k]")
+      assertSame(searchForced(env.index, q, m, k, 0L), naive, s"salted-dist[$q/$m/k=$k]")
     }
   }
 
@@ -117,7 +126,7 @@ class WandEquivalenceSpec extends SparkFunSuite {
     // the exhausted sentinel and could never score it.
     def blocksFor(term: String, ti: Int, docs: Seq[Long]) =
       (ti, PostingBlock.pack(lucy.Hashing.termHash(term), term, 0,
-        docs.iterator.map(d => (d, 1, 5))).toArray)
+        docs.iterator.map(d => (d, 1, 5, Array(0)))).toArray)
     val plan = QueryPlan(Array("aa", "bb"), Array(2L, 3L), n = 10, avgdl = 5.0,
       conjunctive = true, k = 10)
     val groups = Seq(
