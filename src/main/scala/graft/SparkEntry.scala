@@ -28,13 +28,15 @@ object SparkEntry {
 
   private val stopList = LucySpec.stopwordsSqlList
 
-  /** LucySpec §8.2 tokenizer over `documents`, as SQL. */
-  private val toksCte =
+  /** LucySpec §8.2 tokenizer over a documents-shaped source, as SQL. */
+  private def toksCteFrom(src: String) =
     s"""toks AS (
        |  SELECT doc_id, t AS term FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
-       |    FROM documents)
+       |    FROM $src)
        |  WHERE t <> '' AND length(t) <= 64 AND t NOT IN ($stopList))""".stripMargin
+
+  private val toksCte = toksCteFrom("documents")
 
   private val tokenizeTfSql =
     s"""WITH $toksCte
@@ -115,16 +117,17 @@ object SparkEntry {
   /** Full BM25 in SQL (formula text generated from lucy.query.Bm25 so it
     * cannot drift from the Column version).
     */
-  private def bm25Sql(query: String, conjunctive: Boolean, k: Int): String = {
+  private def bm25Sql(query: String, conjunctive: Boolean, k: Int,
+                      src: String = "documents"): String = {
     val terms = LucySpec.queryTerms(query)
     val tlist = terms.map(t => s"'$t'").mkString(", ")
     val addend = lucy.query.Bm25.addendSql("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
     val cond = if (conjunctive) s"n_terms = ${terms.length}" else "true"
-    s"""WITH $toksCte,
+    s"""WITH ${toksCteFrom(src)},
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-       |  (SELECT avg(coalesce(dl.dl, 0)) FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl),
+       |stats AS (SELECT (SELECT count(*) FROM $src) AS n,
+       |  (SELECT avg(coalesce(dl.dl, 0)) FROM $src LEFT JOIN dl USING (doc_id)) AS avgdl),
        |q AS (SELECT unnest([$tlist]) AS term),
        |scored AS (
        |  SELECT tf.doc_id, sum($addend) AS score, count(*)::BIGINT AS n_terms
@@ -136,6 +139,12 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Post-delete BM25: tombstone the masked docs on the engine side,
+    * filter them out of the corpus on the oracle side — scores must
+    * agree exactly (post-delete df/N/avgdl, lucy.index.Deletes).
+    */
+  private val deleteWhere = "doc_id % 7 <> 0"
+
   // ---- Spark-side helpers ----------------------------------------------
 
   /** Engine search mapped back to doc_id and re-ordered by
@@ -145,8 +154,11 @@ object SparkEntry {
     * score tie straddles the cut (verified against the corpus).
     */
   private def bm25Query(spark: SparkSession, sfDir: String, q: String,
-                        mode: QueryMode.Value, k: Int): DataFrame = {
-    val idx = Harness.index(spark, sfDir)
+                        mode: QueryMode.Value, k: Int): DataFrame =
+    bm25QueryOn(spark, Harness.index(spark, sfDir), q, mode, k)
+
+  private def bm25QueryOn(spark: SparkSession, idx: lucy.index.SearchableIndex,
+                          q: String, mode: QueryMode.Value, k: Int): DataFrame = {
     Searcher.search(spark, idx, q, mode, k)
       .join(idx.docmap(spark).select(col("docId"), col("url")), Seq("docId"))
       .select(col("url").cast("long").as("doc_id"), col("score"),
@@ -189,6 +201,15 @@ object SparkEntry {
     "bm25_topk_q3" -> ((s, dir) => bm25Query(s, dir, "the data and query", QueryMode.And, 25)),
     "bm25_phrase_q1" -> ((s, dir) => bm25Query(s, dir, "order fast", QueryMode.Phrase, 25)),
     "bm25_prefix_q1" -> ((s, dir) => bm25Query(s, dir, "s", QueryMode.Prefix, 25)),
+
+    // deletes: tombstone-masked engine vs oracle over the filtered corpus
+    "bm25_after_delete" -> ((s, dir) => {
+      val tombstones = Harness.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .collect().map(r => LucySpec.docIdForUrl(r.getLong(0).toString)).sorted
+      val tidx = lucy.index.TombstonedIndex(Harness.index(s, dir), tombstones)
+      bm25QueryOn(s, tidx, "spark join", QueryMode.And, 25)
+    }),
 
     // -- index integrity: decoded segments ≡ SQL tf table ----------------
     "index_postings_roundtrip" -> ((s, dir) => {
@@ -330,6 +351,11 @@ object SparkEntry {
     "bm25_topk_q3" -> bm25Sql("the data and query", conjunctive = true, k = 25),
     "bm25_phrase_q1" -> phraseSql("order fast", k = 25),
     "bm25_prefix_q1" -> prefixSql("s", k = 25),
+    "bm25_after_delete" ->
+      (s"""WITH documents_live AS (SELECT * FROM documents WHERE $deleteWhere)
+          |""".stripMargin +
+        bm25Sql("spark join", conjunctive = true, k = 25, src = "documents_live")
+          .replaceFirst("WITH ", ",")),
 
     "index_postings_roundtrip" ->
       s"""WITH $toksCte

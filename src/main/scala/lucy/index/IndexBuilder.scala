@@ -28,6 +28,17 @@ trait SearchableIndex {
   def docmap(spark: SparkSession): DataFrame
   def termStats(spark: SparkSession): DataFrame
   def corpusStats(spark: SparkSession): CorpusStats
+
+  /** Query-term stats for planning. TombstonedIndex overrides this with
+    * post-delete df (Deletes.deletedDf).
+    */
+  def lookupTerms(spark: SparkSession, terms: Seq[String]): Map[String, TermStats] =
+    Stats.lookupTerms(termStats(spark), terms)
+
+  /** Sorted docIds masked from this view (empty unless wrapped by
+    * TombstonedIndex); the kernel skips them before they take heap slots.
+    */
+  def tombstoneIds: Array[Long] = Array.empty
 }
 
 /** On-disk index layout:

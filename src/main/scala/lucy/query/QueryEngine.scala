@@ -46,7 +46,8 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
   private def lookup(terms: Seq[String]): Map[String, TermStats] = {
     val missing = terms.filterNot(dfCache.contains)
     if (missing.nonEmpty) {
-      val fetched = Stats.lookupTerms(termStatsDf, missing)
+      // index-aware: a TombstonedIndex returns post-delete df here
+      val fetched = index.lookupTerms(spark, missing)
       missing.foreach(t => dfCache.putIfAbsent(t, fetched.get(t)))
     }
     terms.flatMap(t => dfCache(t).map(t -> _)).toMap
@@ -60,5 +61,6 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
     Searcher.searchWith(spark, segmentsDf, query, mode, k, stats, lookup,
       blockCache = Some(blockCache),
       expand = (p, max) =>
-        prefixCache.getOrElseUpdate(p, Stats.expandPrefix(termStatsDf, p, max)))
+        prefixCache.getOrElseUpdate(p, Stats.expandPrefix(termStatsDf, p, max)),
+      tombstones = index.tombstoneIds)
 }

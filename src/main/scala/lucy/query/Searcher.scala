@@ -118,8 +118,9 @@ object Searcher {
              mode: QueryMode.Value = QueryMode.And,
              k: Int = LucySpec.defaultK): DataFrame =
     searchWith(spark, index.segments(spark), query, mode, k, index.corpusStats(spark),
-      terms => Stats.lookupTerms(index.termStats(spark), terms),
-      expand = (p, max) => Stats.expandPrefix(index.termStats(spark), p, max))
+      terms => index.lookupTerms(spark, terms),
+      expand = (p, max) => Stats.expandPrefix(index.termStats(spark), p, max),
+      tombstones = index.tombstoneIds)
 
   /** Search with externally supplied plan inputs. QueryEngine passes a
     * REUSED segments DataFrame and cached stats: re-creating the scan per
@@ -132,7 +133,8 @@ object Searcher {
                  lookup: Seq[String] => Map[String, lucy.index.TermStats],
                  gatherMaxPostings: Long = defaultGatherMaxPostings,
                  blockCache: Option[BlockCache] = None,
-                 expand: (String, Int) => Seq[String] = null): DataFrame = {
+                 expand: (String, Int) => Seq[String] = null,
+                 tombstones: Array[Long] = Array.empty): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), resultSchema)
 
@@ -168,7 +170,7 @@ object Searcher {
     // costs more than it saves; "broadcasting query-term stats" at this
     // size means shipping them with the task).
     val plan = QueryPlan(present, present.map(dfMap(_).df), stats.n, stats.avgdl,
-      conjunctive = conj, k = k, phraseSlots = phraseSlots)
+      conjunctive = conj, k = k, phraseSlots = phraseSlots, tombstones = tombstones)
 
     val hashes = present.map(t => Hashing.termHash(t).asInstanceOf[Any])
     val pruned = segments

@@ -9,7 +9,13 @@ import lucy.index.{DecodedBlock, PostingBlock}
   */
 case class QueryPlan(terms: Array[String], dfs: Array[Long], n: Long,
                      avgdl: Double, conjunctive: Boolean, k: Int,
-                     phraseSlots: Array[Int] = Array.empty) {
+                     phraseSlots: Array[Int] = Array.empty,
+                     tombstones: Array[Long] = Array.empty) {
+  // tombstones: sorted docIds masked by deletes (TombstonedIndex);
+  // n/avgdl/dfs are already post-delete, the kernel only needs to skip
+  // the masked docs themselves.
+  def tombstoned(d: Long): Boolean =
+    tombstones.length > 0 && java.util.Arrays.binarySearch(tombstones, d) >= 0
   // phraseSlots: for phrase queries, the index into `terms` of each
   // query-token slot in original order (empty = not a phrase). Phrase
   // implies conjunctive; matching docs additionally need the slots'
@@ -198,6 +204,7 @@ object Wand {
     // pure function recomputed to the same bits every call — but hoists
     // the log out of the per-posting hot loop.
     def scoreDoc(d: Long): Unit = {
+      if (plan.tombstoned(d)) return // deleted doc: never takes a heap slot
       var score = 0.0
       var matched = 0
       var t = 0
@@ -356,9 +363,10 @@ object Wand {
       }
       if (!done) {
         if (aligned) {
-          // phrase mode: adjacency check before scoring (positions decode
-          // only here — non-matching docs skip it after the anchor scan)
-          if (plan.phraseSlots.isEmpty || phraseMatches(atCursor, plan.phraseSlots)) {
+          // tombstone check first (cheapest), then phrase adjacency
+          // (positions decode only for surviving aligned candidates)
+          if (!plan.tombstoned(candidate) &&
+            (plan.phraseSlots.isEmpty || phraseMatches(atCursor, plan.phraseSlots))) {
             // dense fast path: score addends in ascending term order (§8.4)
             var score = 0.0
             var u = 0

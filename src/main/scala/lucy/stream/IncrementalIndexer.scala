@@ -52,16 +52,61 @@ object IncrementalIndexer {
   }
 
   /** The searchable view: current base + all completed deltas beyond the
-    * compaction frontier.
+    * compaction frontier, masked by any registered tombstones.
     */
-  def composite(spark: SparkSession, rootDir: String): CompositeIndex = {
+  def composite(spark: SparkSession, rootDir: String): SearchableIndex = {
     val cur = currentOrRecovered(spark, rootDir)
     val base = cur.filter(_.gen >= 0).map(c => LucyIndex(s"$rootDir/base/gen-${c.gen}"))
     val frontier = cur.map(_.compactedThrough).getOrElse(-1L)
     val deltas = listDeltas(spark, rootDir)
       .filter { case (id, _) => id > frontier }
       .map(_._2)
-    CompositeIndex(base.toSeq ++ deltas)
+    val parts = CompositeIndex(base.toSeq ++ deltas)
+    val ts = readTombstones(spark, rootDir)
+    if (ts.isEmpty) parts else TombstonedIndex(parts, ts)
+  }
+
+  // ---- deletes (the lucy.js `delete()` hook analog; see
+  // lucy.index.Deletes for the query-time semantics) ---------------------
+
+  /** Register url deletions: docIds are the deterministic url hashes
+    * (§8.5 — no lookup needed), committed as a generational tombstone
+    * log `deletes/del-<n>/` (same torn-write-safe scheme as the
+    * pointer). Idempotent: re-deleting is a no-op at read time
+    * (tombstones union + distinct). The mask holds until `compact()`
+    * physically purges the docs and clears the log; a later re-add of
+    * the url then resurrects it.
+    */
+  def deleteUrls(spark: SparkSession, rootDir: String, urls: Seq[String]): Unit = {
+    import spark.implicits._
+    if (urls.isEmpty) return
+    val ids = urls.map(lucy.LucySpec.docIdForUrl).distinct.sorted
+    val next = deleteGens(spark, rootDir).maxOption.getOrElse(0L) + 1
+    ids.toDS().toDF("docId").coalesce(1)
+      .write.mode("overwrite").parquet(s"$rootDir/deletes/del-$next")
+  }
+
+  /** All registered tombstones (complete generations only), sorted. */
+  def readTombstones(spark: SparkSession, rootDir: String): Array[Long] = {
+    val gens = deleteGens(spark, rootDir)
+      .filter(g => Manifest.stageDone(spark, s"$rootDir/deletes/del-$g"))
+    if (gens.isEmpty) return Array.empty
+    gens.map(g => spark.read.parquet(s"$rootDir/deletes/del-$g"))
+      .reduce(_ unionByName _)
+      .select("docId").distinct()
+      .collect().map(_.getLong(0)).sorted
+  }
+
+  private def deleteGens(spark: SparkSession, rootDir: String): Seq[Long] = {
+    val dir = new Path(s"$rootDir/deletes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("del-"))
+      .flatMap(n => n.stripPrefix("del-").toLongOption)
+      .sorted
   }
 
   /** Sort-merge compaction (SURVEY.md §2.5 J5, §3.3 step 4): decode all
@@ -82,16 +127,27 @@ object IncrementalIndexer {
       ++ deltas.map(_._2))
     require(parts.nonEmpty, s"nothing to compact in $rootDir")
 
+    // tombstones registered up to now are purged by this compaction:
+    // their docs drop out of winners (and thus postings), and the log
+    // generations read here are cleared after the pointer commits
+    val purgeGens = deleteGens(spark, rootDir)
+      .filter(g => Manifest.stageDone(spark, s"$rootDir/deletes/del-$g"))
+    val tombstones = readTombstones(spark, rootDir)
+
     val tagged = parts.zipWithIndex.map { case (p, i) =>
       p.docmap(spark).withColumn("srcIdx", lit(i))
     }.reduce(_ unionByName _)
     // winner version per docId: latest warc_ts, later part breaks ties
-    val winners = tagged.groupBy(col("docId"))
+    val winnersAll = tagged.groupBy(col("docId"))
       .agg(max_by(struct(col("url"), col("warc_ts"), col("lang"), col("docLen"), col("srcIdx")),
         struct(col("warc_ts"), col("srcIdx"))).as("r"))
       .select(col("docId"), col("r.url").as("url"), col("r.warc_ts").as("warc_ts"),
         col("r.lang").as("lang"), col("r.docLen").as("docLen"),
         col("r.srcIdx").as("winSrc"))
+    val winners =
+      if (tombstones.isEmpty) winnersAll
+      else winnersAll.join(
+        broadcast(tombstones.toSeq.toDF("docId")), Seq("docId"), "left_anti")
 
     val postings = parts.zipWithIndex.map { case (p, i) =>
       p.segments(spark).as[SegmentRow].flatMap { r =>
@@ -113,6 +169,10 @@ object IncrementalIndexer {
     val m = IndexBuilder.writeIndex(winners.drop("winSrc"), kept,
       s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen")
     writeCurrent(spark, rootDir, CurrentPointer(newGen, maxDelta)) // pointer LAST
+    // purge the tombstone log generations this compaction applied (after
+    // the pointer commit: a crash before this point just re-applies them)
+    val fs = new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    purgeGens.foreach(g => fs.delete(new Path(s"$rootDir/deletes/del-$g"), true))
     m
   }
 

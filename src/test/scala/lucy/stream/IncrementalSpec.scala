@@ -21,6 +21,12 @@ class IncrementalSpec extends SparkFunSuite {
     ("index posting", QueryMode.Or, 15),
     ("wand", QueryMode.Or, 10))
 
+  private def partsOf(idx: SearchableIndex): Seq[LucyIndex] = idx match {
+    case c: CompositeIndex => c.parts
+    case t: TombstonedIndex => partsOf(t.inner)
+    case l: LucyIndex => Seq(l)
+  }
+
   private def assertBitEqual(a: DataFrame, b: DataFrame, ctx: String): Unit = {
     val fa = a.collect().map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
     val fb = b.collect().map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
@@ -59,7 +65,7 @@ class IncrementalSpec extends SparkFunSuite {
     val cm = IncrementalIndexer.compact(spark, root)
     assert(cm.docs === stats.n)
     val after = IncrementalIndexer.composite(spark, root)
-    assert(after.parts.length === 1)
+    assert(partsOf(after).length === 1)
     for ((qs, m, k) <- queries) {
       assertBitEqual(Searcher.search(spark, after, qs, m, k),
         NaiveSearch.search(termTf, docmap, stats, qs, m, k), s"post-compact[$qs]")
@@ -97,7 +103,7 @@ class IncrementalSpec extends SparkFunSuite {
     IncrementalIndexer.indexBatch(PagesGen.recrawl(spark, 60, 1000000L), root, 0L)
     IncrementalIndexer.compact(spark, root)
     val idx = IncrementalIndexer.composite(spark, root)
-    assert(idx.parts.length === 1)
+    assert(partsOf(idx).length === 1)
 
     // reference: naive over the deduped union (latest warc_ts wins)
     val union = PagesGen.pages(spark, 120).unionByName(PagesGen.recrawl(spark, 60, 1000000L))
@@ -113,6 +119,60 @@ class IncrementalSpec extends SparkFunSuite {
     val before = idx.segments(spark).count()
     IncrementalIndexer.indexBatch(PagesGen.recrawl(spark, 60, 1000000L), root, 0L)
     assert(IncrementalIndexer.composite(spark, root).segments(spark).count() === before)
+  }
+
+  test("deletes: masked view bit-equal to naive over survivors; compaction purges; re-add") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = s"$tmp/deletes"
+    val all = PagesGen.pages(spark, 300)
+    IncrementalIndexer.bootstrap(all, root)
+
+    // delete every 5th url (hits head and tail terms alike)
+    val delUrls = (0L until 300L by 5).map(i => s"https://example.org/p/$i")
+    IncrementalIndexer.deleteUrls(spark, root, delUrls)
+    val masked = IncrementalIndexer.composite(spark, root)
+    assert(masked.isInstanceOf[TombstonedIndex], "registered deletes must mask the view")
+
+    // the oracle: naive engine over the surviving corpus only
+    val surviving = all.filter(!col("url").isin(delUrls.map(_.asInstanceOf[Any]): _*))
+    val cleaned = Ingest.cleanPages(surviving).cache()
+    val (docmap, termTf) = (Ingest.docmap(cleaned), Ingest.termTf(cleaned))
+    val stats = Stats.corpusStats(docmap)
+    queries.foreach { case (qs, m, k) =>
+      assertBitEqual(
+        Searcher.search(spark, masked, qs, m, k),
+        NaiveSearch.search(termTf, docmap, stats, qs, m, k), s"masked[$qs]")
+    }
+    // a deleted doc never surfaces even with k ≫ matches
+    val deletedIds = delUrls.map(lucy.LucySpec.docIdForUrl).toSet
+    val big = Searcher.search(spark, masked, "spark", QueryMode.Or, 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(big.intersect(deletedIds).isEmpty)
+
+    // compaction physically purges: tombstone log cleared, postings gone
+    IncrementalIndexer.compact(spark, root)
+    val after = IncrementalIndexer.composite(spark, root)
+    assert(!after.isInstanceOf[TombstonedIndex], "purged log must not mask")
+    assert(after.docmap(spark).count() === docmap.count())
+    val decodedIds = after.segments(spark).drop("srcPart").as[SegmentRow]
+      .flatMap(r => PostingBlock.decode(r.toBlock).docIds).collect().toSet
+    assert(decodedIds.intersect(deletedIds).isEmpty, "purge must drop postings")
+    queries.foreach { case (qs, m, k) =>
+      assertBitEqual(
+        Searcher.search(spark, after, qs, m, k),
+        NaiveSearch.search(termTf, docmap, stats, qs, m, k), s"compacted[$qs]")
+    }
+
+    // re-add a deleted url after compaction: it scores again
+    IncrementalIndexer.indexBatch(
+      spark.range(0, 1).as[Long].map(PagesGen.page _).toDF(), root, 77L)
+    val readded = IncrementalIndexer.composite(spark, root)
+    val hits = Searcher.search(spark, readded, "spark", QueryMode.Or, 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(lucy.LucySpec.docIdForUrl("https://example.org/p/0")))
+    cleaned.unpersist()
   }
 
   test("pointer: generational commits survive crash windows; lost pointer recovers (ADVICE r1)") {
@@ -142,7 +202,7 @@ class IncrementalSpec extends SparkFunSuite {
     fs.delete(new Path(s"$root/current"), true)
     assert(IncrementalIndexer.readCurrent(spark, root) === None)
     val comp = IncrementalIndexer.composite(spark, root)
-    assert(comp.parts.exists(_.dir.endsWith("gen-1")), "recovered view must serve the base")
+    assert(partsOf(comp).exists(_.dir.endsWith("gen-1")), "recovered view must serve the base")
     assert(comp.segments(spark).count() > 0)
   }
 }
