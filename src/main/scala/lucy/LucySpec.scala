@@ -54,9 +54,13 @@ object LucySpec {
 
   /** Lowercase → split on runs outside [a-z0-9] → drop empty, >64-char,
     * stopword tokens. Returns tokens in document order (duplicates kept;
-    * docLen = result length).
+    * docLen = result length). Stemming (Porter, behind the frozen-OFF
+    * `stemming` flag) applies AFTER the stopword/length filters, so the
+    * flag flip never changes which tokens exist, only their surface form.
     */
-  def tokenize(text: String): Array[String] = {
+  def tokenize(text: String): Array[String] = tokenizeWith(text, stemming)
+
+  def tokenizeWith(text: String, stem: Boolean): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val lower = text.toLowerCase(Locale.ROOT)
     val out = Array.newBuilder[String]
@@ -69,7 +73,8 @@ object LucySpec {
       while (i < n && isTokenChar(lower.charAt(i))) i += 1
       if (i > start) {
         val tok = lower.substring(start, i)
-        if (tok.length <= maxTokenLen && !stopwords.contains(tok)) out += tok
+        if (tok.length <= maxTokenLen && !stopwords.contains(tok))
+          out += (if (stem) lucy.text.PorterStemmer.stem(tok) else tok)
       }
     }
     out.result()

@@ -12,7 +12,15 @@ case class IndexConfig(
     numPartitions: Int = 0,
     saltDfThreshold: Long = lucy.LucySpec.saltDfThreshold,
     maxSalts: Int = lucy.LucySpec.maxSalts,
-    lang: Option[String] = Some("en"))
+    lang: Option[String] = Some("en"),
+    /** ST4: when set (e.g. "1 hour"), the streaming ingest drops
+      * EXACT replays — same (url, warc_ts) — across micro-batches via
+      * dropDuplicatesWithinWatermark state, so a replaying upstream
+      * can't double-count df/cf between compactions. Genuine recrawls
+      * (same url, NEW warc_ts) pass through — latest-wins belongs to
+      * compaction (PF2), not the ingest filter.
+      */
+    streamDedupWatermark: Option[String] = None)
 
 /** Anything the query path can search: one segment index or a
   * base+deltas composite (SURVEY.md §2.8 SET3).

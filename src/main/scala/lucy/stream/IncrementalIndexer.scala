@@ -35,13 +35,20 @@ object IncrementalIndexer {
   case class CurrentPointer(gen: Long, compactedThrough: Long)
 
   def start(pagesStream: DataFrame, rootDir: String, checkpointDir: String,
-            config: IndexConfig = IndexConfig()): StreamingQuery =
-    pagesStream.writeStream
+            config: IndexConfig = IndexConfig()): StreamingQuery = {
+    // ST4 (optional): cross-batch replay dedup on (url, warc_ts) in the
+    // state store. Keyed on BOTH columns: a replayed delivery is
+    // identical, a genuine recrawl carries a new warc_ts and must pass.
+    val deduped = config.streamDedupWatermark.fold(pagesStream)(w =>
+      pagesStream.withWatermark("warc_ts", w)
+        .dropDuplicatesWithinWatermark("url", "warc_ts"))
+    deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         indexBatch(batch, rootDir, id, config)
       }
       .start()
+  }
 
   /** One micro-batch → one delta index (idempotent by batchId). */
   def indexBatch(batch: DataFrame, rootDir: String, batchId: Long,

@@ -122,6 +122,36 @@ class PipelineSpec extends SparkFunSuite {
     assert(recalls.sum / recalls.size > 0.2, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("scale-aware LSH parameter derivation; recall holds at two scale factors") {
+    import spark.implicits._
+    // derivation shape: bigger corpora get wider bands (bounded buckets)
+    assert(Similarity.lshParamsFor(1000) === (16, 4))
+    assert(Similarity.lshParamsFor(1000000) === (40, 10))
+    assert(Similarity.lshParamsFor(1000000000L) === (60, 15))
+    val (p12, b12) = Similarity.lshParamsFor(1000000000000L)
+    assert(p12 <= 64 && b12 >= 10, "code must fit a Long")
+    // minhash banding knee lands near the requested threshold
+    assert(Dedup.minhashRowsPerBandFor(0.5, 16) === 2)  // knee (1/8)^(1/2) ≈ 0.354 closest
+    assert(Dedup.minhashRowsPerBandFor(0.9, 16) === 8)
+
+    // recall property with DERIVED params at two scale factors
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val n = emb.count()
+      val (planes, bits) = Similarity.lshParamsFor(n)
+      val queries = emb.filter(col("vec_id") < 3)
+      val bruteTop = Similarity.bruteCosineTopK(emb, queries, k = 5)
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val lshByQ = Similarity.lshCosineTopK(emb, queries, k = 5,
+          numPlanes = planes, bandBits = bits)
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recalls = bruteTop.map { case (q, top) =>
+        lshByQ.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }
+      assert(recalls.sum / recalls.size > 0.2, s"$sf mean recall ${recalls.sum / recalls.size}")
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub decode") {
     val feats = Multimodal.extractFeatures(Multimodal.withPayload(docs)).collect()
     assert(feats.length === 6)

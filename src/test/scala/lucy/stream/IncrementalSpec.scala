@@ -175,6 +175,33 @@ class IncrementalSpec extends SparkFunSuite {
     cleaned.unpersist()
   }
 
+  test("ST4: replaying upstream across batches does not double-count df/cf") {
+    import spark.implicits._
+    val root = s"$tmp/st4"
+    val stream = MemoryStream[Long](spark)
+    val pagesStream = stream.toDS().map(PagesGen.page _).toDF()
+    val q = IncrementalIndexer.start(pagesStream, root, s"$root/ckpt",
+      IndexConfig(streamDedupWatermark = Some("10 hours")))
+    try {
+      stream.addData(0L until 100L: _*); q.processAllAvailable()
+      // a replaying source re-delivers the SAME 100 pages in a new batch
+      stream.addData(0L until 100L: _*); q.processAllAvailable()
+      // plus genuinely new docs so the second batch isn't empty
+      stream.addData(100L until 150L: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val idx = IncrementalIndexer.composite(spark, root)
+    // reference: each doc indexed exactly once
+    val cleaned = Ingest.cleanPages(PagesGen.pages(spark, 150))
+    val stats = Stats.corpusStats(Ingest.docmap(cleaned))
+    assert(idx.corpusStats(spark) === stats, "replay must not inflate N/avgdl")
+    val expectedDf = Ingest.termTf(cleaned).groupBy($"term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotDf = idx.termStats(spark).select("term", "df")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDf === expectedDf, "replay must not inflate df")
+  }
+
   test("pointer: generational commits survive crash windows; lost pointer recovers (ADVICE r1)") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
