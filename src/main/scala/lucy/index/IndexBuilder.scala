@@ -116,12 +116,15 @@ case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
 
 /** Batch index build — entry point 1 (SURVEY.md §3.1).
   *
-  * Stage structure and shuffles:
+  * Stage structure and shuffles (r2: the old explode + groupBy(docId,
+  * term) tf-aggregation shuffle is GONE — a doc's postings never span
+  * rows, so tf/positions are computed per document in one mapper pass,
+  * Ingest.termPostingsUdf):
   *  1. scan + lang filter (pushed to parquet) .......... no shuffle
   *  2. url dedup (max_by hash agg) ..................... SHUFFLE on url
   *  3. extractText + tokenize UDFs, docId .............. pipelined
   *  4. docmap write
-  *  5. explode + tf agg ................................ SHUFFLE on (docId,term,docLen)
+  *  5. per-doc posting extraction (tf + varint positions) pipelined UDF
   *  6. term stats agg .................................. SHUFFLE on term (small output)
   *  7. head-term salting ............................... broadcast join (tiny)
   *  8. range exchange + sort by (termHash,term,salt) ... SHUFFLE (the big one)
@@ -156,16 +159,16 @@ object IndexBuilder {
     val cleaned = Ingest.cleanPages(pages, config.lang)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Stage 5 input: (docId, docLen, term) → tf + sorted positions.
-      // docLen rides the groupBy key (functionally dependent on docId)
-      // so no docmap join; positions per (doc, term) are bounded by tf,
-      // so the collect_list never exceeds one document's tokens.
+      // Stage 5 input: (docId, docLen, term, tf, posBytes) — computed in
+      // ONE local pass per document (Ingest.termPostingsUdf). A doc's
+      // postings never span rows, so r1's groupBy(docId, term) shuffle
+      // of the exploded token stream was pure wire cost; positions leave
+      // the mapper already varint-compressed (~1 byte/token).
       val termTfDl = cleaned
         .select(col("docId"), size(col("tokens")).as("docLen"),
-          posexplode(col("tokens")).as(Seq("pos", "term")))
-        .groupBy(col("docId"), col("docLen"), col("term"))
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
+          explode(Ingest.termPostingsUdf(col("tokens"))).as("tp"))
+        .select(col("docId"), col("docLen"), col("tp.term").as("term"),
+          col("tp.tf").cast("long").as("tf"), col("tp.pos").as("posBytes"))
       writeIndex(Ingest.docmap(cleaned), termTfDl, indexDir, config, fingerprint)
     } finally cleaned.unpersist()
   }

@@ -24,6 +24,36 @@ object Ingest {
   /** F2 — LucySpec tokenizer (SURVEY.md §8.2). */
   val tokenizeUdf = udf((text: String) => LucySpec.tokenize(text))
 
+  /** One document's postings for one term: tf + the varint-encoded
+    * position stream (§8.3/§8.7 — absolute first position, then gaps).
+    */
+  case class TermPosting(term: String, tf: Int, pos: Array[Byte])
+
+  /** A1 fused per-document (r2): (term → tf, positions) computed in ONE
+    * local pass over the token array. A document's postings never span
+    * rows, so aggregating them with a groupBy(docId, term) shuffle —
+    * r1's shape — moves the entire exploded token stream (≈ corpus
+    * tokens) across the wire to compute something every mapper already
+    * has locally. This UDF replaces that shuffle with a narrow map, and
+    * emits positions ALREADY varint-compressed so the big range
+    * exchange carries ~1 byte/token instead of an int array.
+    */
+  val termPostingsUdf = udf((tokens: Seq[String]) => {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val acc = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      val t = tokens(i)
+      acc.getOrElseUpdate(t, { order += t; scala.collection.mutable.ArrayBuffer.empty[Int] }) += i
+      i += 1
+    }
+    order.iterator.map { t =>
+      val ps = acc(t)
+      TermPosting(t, ps.length, PostingBlock.encodePositions(ps.toArray))
+    }.toArray
+  })
+
   /** §8.5 — positive-63-bit xxhash64(url, seed 42); Spark's built-in
     * expression (codegen'd) — XxHash64Spec proves it equals
     * LucySpec.docIdForUrl used on the driver.

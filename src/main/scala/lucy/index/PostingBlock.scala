@@ -67,18 +67,35 @@ case class SegmentRow(termHash: Int, term: String, salt: Int, blockNo: Int,
 
 object PostingBlock {
 
+  /** Encode one document's term positions (ascending, tf of them):
+    * absolute first position, then gaps — self-contained per doc, so a
+    * block's posVarint is the plain concatenation of per-doc encodings.
+    * Producers (the ingest UDF, compaction re-encode) call this ONCE per
+    * posting; the shuffles and the packer only ever move/concat bytes.
+    */
+  def encodePositions(ps: Array[Int]): Array[Byte] = {
+    val deltas = new Array[Long](ps.length)
+    var j = 0
+    while (j < ps.length) {
+      require(j == 0 || ps(j) > ps(j - 1), "positions not strictly ascending")
+      deltas(j) = if (j == 0) ps(0).toLong else (ps(j) - ps(j - 1)).toLong
+      j += 1
+    }
+    Varint.encodeAll(deltas)
+  }
+
   /** Pack one (term, salt)'s postings — already sorted by docId — into
     * block rows. Streaming: consumes the iterator, O(blockSize) memory,
     * so a head term with 10^9 postings never materializes (the reason
     * this is NOT collect_list, SURVEY.md §2.4 A5). Each posting carries
-    * its term positions (ascending, tf of them).
+    * its PRE-ENCODED position stream (encodePositions; tf entries).
     */
   def pack(termHash: Int, term: String, salt: Int,
-           postings: Iterator[(Long, Int, Int, Array[Int])]): Iterator[PostingBlock] = {
+           postings: Iterator[(Long, Int, Int, Array[Byte])]): Iterator[PostingBlock] = {
     val docIds = new Array[Long](LucySpec.blockSize)
     val tfs = new Array[Int](LucySpec.blockSize)
     val dls = new Array[Int](LucySpec.blockSize)
-    val poss = new Array[Array[Int]](LucySpec.blockSize)
+    val poss = new Array[Array[Byte]](LucySpec.blockSize)
     var blockNo = 0
 
     new Iterator[PostingBlock] {
@@ -87,14 +104,13 @@ object PostingBlock {
         var n = 0
         var maxTf = 0
         var minDl = Int.MaxValue
-        var nPos = 0
+        var posBytes = 0
         while (n < LucySpec.blockSize && postings.hasNext) {
           val (d, tf, dl, ps) = postings.next()
           require(n == 0 || d > docIds(n - 1),
             s"postings for ($term,$salt) not strictly ascending at $d")
-          require(ps.length == tf, s"($term,$salt,$d): ${ps.length} positions for tf=$tf")
           docIds(n) = d; tfs(n) = tf; dls(n) = dl; poss(n) = ps
-          nPos += tf
+          posBytes += ps.length
           if (tf > maxTf) maxTf = tf
           if (dl < minDl) minDl = dl
           n += 1
@@ -106,25 +122,17 @@ object PostingBlock {
         val dlsL = new Array[Long](n)
         i = 0
         while (i < n) { tfsM1(i) = (tfs(i) - 1).toLong; dlsL(i) = dls(i).toLong; i += 1 }
-        // positions: per doc, absolute first then gaps
-        val posDeltas = new Array[Long](nPos)
+        val pv = new Array[Byte](posBytes)
         var w = 0
         i = 0
         while (i < n) {
-          val ps = poss(i)
-          var j = 0
-          while (j < ps.length) {
-            require(j == 0 || ps(j) > ps(j - 1),
-              s"($term,$salt,${docIds(i)}): positions not strictly ascending")
-            posDeltas(w) = if (j == 0) ps(0).toLong else (ps(j) - ps(j - 1)).toLong
-            w += 1; j += 1
-          }
+          System.arraycopy(poss(i), 0, pv, w, poss(i).length)
+          w += poss(i).length
           i += 1
         }
         val b = PostingBlock(termHash, term, salt, blockNo,
           docIds(0), docIds(n - 1), n, maxTf, minDl,
-          Varint.encodeAll(gaps), Varint.encodeAll(tfsM1), Varint.encodeAll(dlsL),
-          Varint.encodeAll(posDeltas))
+          Varint.encodeAll(gaps), Varint.encodeAll(tfsM1), Varint.encodeAll(dlsL), pv)
         blockNo += 1
         b
       }

@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import lucy.LucySpec
 
 /** One (term, doc) posting with everything the block packer needs.
-  * positions: ascending 0-based indices into the post-stopword token
-  * sequence (tf of them) — the phrase-query stream (§8.3).
+  * posBytes: the doc's varint-encoded position stream
+  * (PostingBlock.encodePositions — tf ascending 0-based indices into
+  * the post-stopword token sequence, §8.3/§8.7).
   */
 case class TermPostingRow(termHash: Int, term: String, salt: Int,
                           docId: Long, tf: Long, docLen: Int,
-                          positions: Seq[Int])
+                          posBytes: Array[Byte])
 
 /** Posting-list construction (SURVEY.md §3.1 stages 5–9).
   *
@@ -48,7 +49,7 @@ object Postings {
           .otherwise(pmod(hash(col("docId")), col("salts"))))
       .withColumn("termHash", hash(col("term")))
       .select(col("termHash"), col("term"), col("salt"), col("docId"),
-        col("tf"), col("docLen"), col("positions"))
+        col("tf"), col("docLen"), col("posBytes"))
 
   /** Range exchange + in-partition sort + streaming pack. */
   def packBlocks(saltedDf: DataFrame, numPartitions: Int): Dataset[PostingBlock] = {
@@ -62,7 +63,7 @@ object Postings {
         RunIterator(rows)(r => (r.termHash, r.term, r.salt)).flatMap {
           case ((h, t, s), run) =>
             PostingBlock.pack(h, t, s,
-              run.map(r => (r.docId, r.tf.toInt, r.docLen, r.positions.toArray)))
+              run.map(r => (r.docId, r.tf.toInt, r.docLen, r.posBytes)))
         }
       }
   }

@@ -22,15 +22,17 @@ import lucy.{LucySpec, XxHash64}
 object Dedup {
 
   /** Exact dedup by content hash: every doc tagged with its group's
-    * canonical (minimum) id and a dup flag. Shuffles only (hash, id).
+    * canonical (minimum) id and a dup flag. Shuffles only (hash, id);
+    * the UNORDERED min-over-window avoids the per-group id sort that an
+    * ordered `first()` window would force (VERDICT r1) — at 10^12 rows
+    * the sort inside each duplicate cluster is real money.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol).asc)
+    val w = Window.partitionBy(col("content_hash"))
     docs
       .withColumn("content_hash", xxhash64(col(textCol)))
-      .withColumn("canonical_id", first(col(idCol)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }

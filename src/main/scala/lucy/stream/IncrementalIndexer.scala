@@ -161,15 +161,16 @@ object IncrementalIndexer {
         val d = PostingBlock.decode(r.toBlock)
         val ps = PostingBlock.decodePositions(r.toBlock, d.tfs)
         d.docIds.indices.iterator.map { j =>
-          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j), ps(j).toSeq, i)
+          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j),
+            PostingBlock.encodePositions(ps(j)), i)
         }
-      }.toDF("term", "docId", "tf", "docLen", "positions", "srcIdx")
+      }.toDF("term", "docId", "tf", "docLen", "posBytes", "srcIdx")
     }.reduce(_ unionByName _)
 
     val kept = postings
       .join(winners.select(col("docId"), col("winSrc")), Seq("docId"))
       .filter(col("srcIdx") === col("winSrc"))
-      .select(col("docId"), col("docLen"), col("term"), col("tf"), col("positions"))
+      .select(col("docId"), col("docLen"), col("term"), col("tf"), col("posBytes"))
 
     val newGen = gen + 1
     val maxDelta = deltas.map(_._1).maxOption.getOrElse(frontier)

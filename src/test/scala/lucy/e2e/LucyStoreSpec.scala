@@ -1,0 +1,80 @@
+package lucy.e2e
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import lucy.{LucySpec, LucyStore, SparkFunSuite}
+import lucy.fixtures.PagesGen
+import lucy.index.{Ingest, Stats}
+import lucy.query.{NaiveSearch, QueryMode}
+
+/** The full lucy.js store lifecycle through the one public facade:
+  * bootstrap → put (add + update) → delete → search (all modes) →
+  * compact — at every step search results are BIT-EQUAL to the naive
+  * engine over a from-scratch view of the store's current contents.
+  */
+class LucyStoreSpec extends SparkFunSuite {
+
+  private def naiveOver(pages: DataFrame, q: String, m: QueryMode.Value, k: Int): DataFrame = {
+    val cleaned = Ingest.cleanPages(pages)
+    val docmap = Ingest.docmap(cleaned)
+    NaiveSearch.forQuery(Ingest.termTf(cleaned), Ingest.tokPos(cleaned), docmap,
+      Stats.corpusStats(docmap), q, m, k)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, ctx: String): Unit = {
+    val fa = a.collect().map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val fb = b.collect().map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    assert(fa.toSeq === fb.toSeq, ctx)
+  }
+
+  private val probes = Seq(
+    ("spark shuffle", QueryMode.And, 10),
+    ("wand heap", QueryMode.Or, 10),
+    ("spark shuffle", QueryMode.Phrase, 10),
+    ("wa", QueryMode.Prefix, 10))
+
+  test("store lifecycle: bootstrap, put, delete, search, compact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lucy-store").toString + "/store"
+    val store = new LucyStore(spark, root)
+
+    // bootstrap 200 docs
+    store.bootstrap(PagesGen.pages(spark, 200))
+    probes.foreach { case (q, m, k) =>
+      assertSame(store.search(q, m, k), naiveOver(PagesGen.pages(spark, 200), q, m, k),
+        s"bootstrap[$q/$m]")
+    }
+
+    // put: 100 new docs + re-put is a no-op (exactly-once)
+    val delta = spark.range(200, 300).as[Long].map(PagesGen.page _).toDF()
+    store.put(delta, batchId = 0L)
+    store.put(delta, batchId = 0L)
+    val after300 = PagesGen.pages(spark, 300)
+    probes.foreach { case (q, m, k) =>
+      assertSame(store.search(q, m, k), naiveOver(after300, q, m, k), s"put[$q/$m]")
+    }
+
+    // delete 30 urls: masked view matches naive over survivors
+    val delUrls = (0L until 300L by 10).map(i => s"https://example.org/p/$i")
+    store.delete(delUrls)
+    val survivors = after300.filter(!col("url").isin(delUrls.map(_.asInstanceOf[Any]): _*))
+    probes.foreach { case (q, m, k) =>
+      assertSame(store.search(q, m, k), naiveOver(survivors, q, m, k), s"deleted[$q/$m]")
+    }
+
+    // compact: same answers from the folded base
+    store.compact()
+    probes.foreach { case (q, m, k) =>
+      assertSame(store.search(q, m, k), naiveOver(survivors, q, m, k), s"compacted[$q/$m]")
+    }
+
+    // searchWithUrls attaches display urls for the top hit
+    val withUrls = store.searchWithUrls("spark shuffle", QueryMode.And, 3).collect()
+    assert(withUrls.nonEmpty && withUrls.forall(_.getAs[String]("url").startsWith("https://")))
+    // and the deleted url can come back
+    store.put(spark.range(0, 1).as[Long].map(PagesGen.page _).toDF(), batchId = 1L)
+    val back = store.search("spark", QueryMode.Or, 500).collect().map(_.getLong(0)).toSet
+    assert(back.contains(LucySpec.docIdForUrl("https://example.org/p/0")))
+  }
+}

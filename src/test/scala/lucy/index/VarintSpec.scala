@@ -44,9 +44,10 @@ class VarintSpec extends AnyFunSuite {
           var p = -1
           Array.fill(tf) { p += 1 + rnd.nextInt(20); p }
         }
-        (docId, tf, 1 + rnd.nextInt(500), ps)
+        (docId, tf, 1 + rnd.nextInt(500), ps, PostingBlock.encodePositions(ps))
       }
-      val blocks = PostingBlock.pack(13, "t", 0, postings.iterator).toVector
+      val blocks = PostingBlock.pack(13, "t", 0,
+        postings.iterator.map(p => (p._1, p._2, p._3, p._5))).toVector
       assert(blocks.length === (n + 127) / 128)
       assert(blocks.map(_.count).sum === n)
       assert(blocks.head.firstDocId === postings.head._1)
@@ -67,15 +68,16 @@ class VarintSpec extends AnyFunSuite {
   }
 
   test("pack rejects non-ascending docIds") {
+    val p0 = PostingBlock.encodePositions(Array(0))
     intercept[IllegalArgumentException] {
       PostingBlock.pack(0, "t", 0,
-        Iterator((5L, 1, 1, Array(0)), (5L, 1, 1, Array(0)))).toVector
+        Iterator((5L, 1, 1, p0), (5L, 1, 1, p0))).toVector
     }
   }
 
-  test("pack rejects positions inconsistent with tf") {
+  test("encodePositions rejects non-ascending positions") {
     intercept[IllegalArgumentException] {
-      PostingBlock.pack(0, "t", 0, Iterator((5L, 2, 3, Array(1)))).toVector
+      PostingBlock.encodePositions(Array(3, 3))
     }
   }
 }

@@ -126,7 +126,7 @@ class WandEquivalenceSpec extends SparkFunSuite {
     // the exhausted sentinel and could never score it.
     def blocksFor(term: String, ti: Int, docs: Seq[Long]) =
       (ti, PostingBlock.pack(lucy.Hashing.termHash(term), term, 0,
-        docs.iterator.map(d => (d, 1, 5, Array(0)))).toArray)
+        docs.iterator.map(d => (d, 1, 5, PostingBlock.encodePositions(Array(0))))).toArray)
     val plan = QueryPlan(Array("aa", "bb"), Array(2L, 3L), n = 10, avgdl = 5.0,
       conjunctive = true, k = 10)
     val groups = Seq(
