@@ -1,0 +1,104 @@
+package lucy.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import lucy.Hashing
+import lucy.fixtures.PagesGen
+import lucy.index.{IndexBuilder, Ingest, LucyIndex, Stats}
+import lucy.query.{QueryMode, Searcher}
+
+/** Regenerates PLANS.md — the physical-plan evidence document — from a
+  * 5000-doc index at local[8]. Run whenever the plan-shaping code
+  * changes: `sbt "runMain lucy.tools.CapturePlans"`.
+  */
+object CapturePlans {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = "/tmp/plans-idx-v2"
+    IndexBuilder.build(PagesGen.pages(spark, 5000), dir)
+    val index = LucyIndex(dir)
+    val segments = index.segments(spark)
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+    val sb = new StringBuilder
+    sb.append(
+      s"""# PLANS — physical-plan evidence (`.explain("formatted")`, regenerated ${java.time.LocalDate.now})
+         |
+         |Why these plans are the ones we want at 100 TB:
+         |
+         |1. **Pruned segment scan** — both `termHash` and `term` literal IN-filters
+         |   reach the parquet scan (`PushedFilters`); segments are range-
+         |   partitioned AND sorted by `termHash`, so row-group min/max stats skip
+         |   everything but the query terms' blocks. `ReadSchema` shows column
+         |   pruning: a metadata-only projection reads 4 columns and NEVER the
+         |   payload bytes — note `posVarint` (the r2 positions stream) absent.
+         |2. **Distributed query (bucket-exchange shape)** — one Exchange (the
+         |   docId-bucket co-location shuffle, sized by Σ df of the query terms —
+         |   NOT the corpus), one MapPartitions (the WAND kernel), then
+         |   `TakeOrderedAndProject` (per-partition heap + driver merge) instead
+         |   of a global sort. The scatter-gather shape (the warm-serving default
+         |   for bounded-volume queries) is the same pruned scan followed by a
+         |   single collect — no exchange at all, so there is no plan to show:
+         |   the evidence is the job count (0–1 jobs/query, Bench phase B).
+         |3. **Posting extraction** — r2 removed the explode + groupBy(docId,term)
+         |   exchange entirely: tf + varint positions are computed per document
+         |   inside one projected UDF pass, so the ONLY wide exchange left in the
+         |   build between dedup and the final range sort is the range exchange
+         |   itself. The plan shows Project(UDF) → Generate(explode) feeding the
+         |   RangePartitioning exchange directly.
+         |4. **Phrase scan** — the positions column rides the same pruned scan.
+         |   Query paths deliberately carry `posVarint` in ALL modes so one block
+         |   cache serves And/Or/Phrase alike (design note in PostingBlock.scala);
+         |   metadata-only consumers (stats, manifests, PLAN1) prune it away.
+         |
+         |Raw captures below (5000-doc index, local[8]).
+         |""".stripMargin)
+
+    // PLAN1: metadata-only pruned scan
+    val p1 = segments
+      .filter(col("termHash") === Hashing.termHash("varint") && col("term") === "varint")
+      .select(col("term"), col("count"), col("firstDocId"))
+    sb.append("\n```\n=====PLAN1: pruned segment scan (termHash pushdown, posVarint pruned away)\n")
+    sb.append(planOf(p1))
+
+    // PLAN2: distributed bucket-exchange query (forced)
+    val p2 = Searcher.searchWith(spark, segments, "spark shuffle", QueryMode.And, 10,
+      index.corpusStats(spark), ts => Stats.lookupTerms(index.termStats(spark), ts),
+      gatherMaxPostings = 0L)
+    sb.append("\n=====PLAN2: distributed query (pruned scan -> bucket exchange -> WAND -> TakeOrdered)\n")
+    sb.append(planOf(p2))
+
+    // PLAN3: build posting extraction (no aggregation exchange)
+    val cleaned = Ingest.cleanPages(PagesGen.pages(spark, 5000))
+    val p3 = cleaned
+      .select(col("docId"), size(col("tokens")).as("docLen"),
+        explode(Ingest.termPostingsUdf(col("tokens"))).as("tp"))
+      .select(col("docId"), col("docLen"), col("tp.term").as("term"),
+        col("tp.tf").cast("long").as("tf"), col("tp.pos").as("posBytes"))
+    sb.append("\n=====PLAN3: per-doc posting extraction (UDF; no groupBy exchange)\n")
+    sb.append(planOf(p3))
+
+    // PLAN4: phrase query distributed (posVarint read)
+    val p4 = Searcher.searchWith(spark, segments, "spark shuffle", QueryMode.Phrase, 10,
+      index.corpusStats(spark), ts => Stats.lookupTerms(index.termStats(spark), ts),
+      gatherMaxPostings = 0L)
+    sb.append("\n=====PLAN4: phrase query (positions column in ReadSchema)\n")
+    sb.append(planOf(p4))
+    sb.append("```\n")
+
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
