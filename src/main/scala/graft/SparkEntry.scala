@@ -337,7 +337,8 @@ object SparkEntry {
     "token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Harness.documents(s, dir))
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
-          col("word_tokens").cast("long").as("word_tokens"))
+          col("word_tokens").cast("long").as("word_tokens"),
+          col("bpe_ish_tokens").cast("long").as("bpe_ish_tokens"))
         .orderBy(col("doc_id"))),
 
     "doc_fingerprint" -> ((s, dir) =>
@@ -500,7 +501,9 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS ws_tokens,
          |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-         |    x -> x <> '' AND length(x) <= 64))::BIGINT AS word_tokens
+         |    x -> x <> '' AND length(x) <= 64))::BIGINT AS word_tokens,
+         |  (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |    + len(regexp_split_to_array(trim(text), ' +')))::BIGINT AS bpe_ish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_brute_cosine" ->

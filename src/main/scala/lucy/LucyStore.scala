@@ -17,7 +17,13 @@ import lucy.stream.IncrementalIndexer
   *   - `delete(urls)` — tombstone documents; masked immediately, purged
   *     at the next `compact()`.
   *   - `search(q)`    — top-k BM25 (And/Or/Phrase/Prefix) over the live
-  *     view, bit-equal to a from-scratch index of the current contents.
+  *     view. EXACT (bit-equal to a from-scratch index of the current
+  *     contents) for pure adds and deletes; for a url UPDATED between
+  *     compactions the index is additive (CompositeIndex docs: the doc
+  *     is scored once, against its latest version's tf, but stale
+  *     postings of terms dropped by the update may still match until
+  *     the merge) — `compact()` restores exactness (ADVICE r2;
+  *     LucyStoreSpec probes both regimes).
   *   - `compact()`    — fold deltas + deletes into a new base generation.
   *
   * A serving QueryEngine (block cache + stats cache) is rebuilt whenever

@@ -178,7 +178,8 @@ object IndexBuilder {
     * ingest, SURVEY.md §3.3 step 4).
     */
   def writeIndex(docmapSrc: DataFrame, termTfDl: DataFrame, indexDir: String,
-                 config: IndexConfig, fingerprint: String): BuildManifest = {
+                 config: IndexConfig, fingerprint: String,
+                 frontier: Option[Long] = None): BuildManifest = {
     val spark = docmapSrc.sparkSession
     val t0 = System.nanoTime()
     // marker FIRST: partial builds are identity-guarded too (ADVICE r1)
@@ -247,7 +248,8 @@ object IndexBuilder {
       saltDfThreshold = config.saltDfThreshold,
       lang = config.lang.getOrElse(""),
       docmapMs = docmapMs, statsMs = statsMs, segmentsMs = segmentsMs,
-      totalMs = (System.nanoTime() - t0) / 1000000)
+      totalMs = (System.nanoTime() - t0) / 1000000,
+      frontier = frontier)
     Manifest.writeBuild(spark, indexDir, m) // manifest LAST = build complete
     m
   }

@@ -18,7 +18,15 @@ case class BuildManifest(
     docmapMs: Long,
     statsMs: Long,
     segmentsMs: Long,
-    totalMs: Long)
+    totalMs: Long,
+    /** For a compacted base generation: the highest delta batchId folded
+      * into it (IncrementalIndexer.compact). Lets a lost `current`
+      * pointer be recovered EXACTLY — re-including an already-compacted
+      * delta would double-count df in CompositeIndex.termStats and shift
+      * idf (ADVICE r2). None/absent (pre-r3 manifests, plain batch
+      * builds) means "no deltas folded" (frontier −1).
+      */
+    frontier: Option[Long] = None)
 
 /** Per-partition lineage/metrics row for the segments stage. */
 case class PartitionManifest(partId: Int, blocks: Long, postings: Long,

@@ -73,6 +73,14 @@ private[query] case class BucketedBlock(
   *
   * Value shape: one entry per (salt, srcPart) stream, blocks sorted by
   * firstDocId — exactly the kernel's cursor grouping.
+  *
+  * Oversize policy (VERDICT r2): an entry larger than maxBytes is still
+  * admitted — it evicts everything else and pins the cache above its cap
+  * until the next put evicts it in turn. Deliberate (the alternative is
+  * re-fetching the hottest term on every repeat), and bounded: one entry
+  * is at most gatherMaxPostings' worth of compressed blocks, ≈ a few MB
+  * of varint bytes (2^20 postings × ~2–4 B + 64 B/block overhead), so
+  * the worst-case cache size is maxBytes + one gather.
   */
 final class BlockCache(maxBytes: Long = 256L << 20) {
   private type Groups = Seq[((Int, Int), Array[PostingBlock])]

@@ -175,7 +175,8 @@ object IncrementalIndexer {
     val newGen = gen + 1
     val maxDelta = deltas.map(_._1).maxOption.getOrElse(frontier)
     val m = IndexBuilder.writeIndex(winners.drop("winSrc"), kept,
-      s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen")
+      s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen",
+      frontier = Some(maxDelta)) // recorded for exact pointer recovery (ADVICE r2)
     writeCurrent(spark, rootDir, CurrentPointer(newGen, maxDelta)) // pointer LAST
     // purge the tombstone log generations this compaction applied (after
     // the pointer commit: a crash before this point just re-applies them)
@@ -227,9 +228,13 @@ object IncrementalIndexer {
   /** Last-resort recovery (ADVICE r1): no readable pointer (e.g. the
     * pointer dir was lost) but committed base generations exist — serve
     * the highest base with a manifest rather than silently dropping the
-    * base. compactedThrough = -1 re-includes all deltas; the kernel
-    * scores at most one posting per (term, doc) per part and compaction
-    * re-deduplicates, so the recovered view is safe, not duplicated.
+    * base. compactedThrough comes from the base's OWN manifest frontier
+    * (recorded at compaction, ADVICE r2), so already-folded deltas are
+    * NOT re-included: re-inclusion would double-count their df in
+    * CompositeIndex.termStats and shift idf even though each doc is
+    * scored once. Pre-frontier manifests (no field) recover with −1 —
+    * results are then still dedup'd per doc but idf is inexact until
+    * the next compact (the old documented behavior).
     */
   private def recoverPointer(spark: SparkSession, rootDir: String): Option[CurrentPointer] = {
     val dir = new Path(s"$rootDir/base")
@@ -237,10 +242,13 @@ object IncrementalIndexer {
     if (!fs.exists(dir)) return None
     fs.listStatus(dir).toSeq
       .filter(_.isDirectory)
-      .flatMap(st => st.getPath.getName.stripPrefix("gen-").toLongOption
-        .filter(_ => LucyIndex(st.getPath.toString).manifest(spark).isDefined))
-      .maxOption
-      .map(g => CurrentPointer(g, -1L))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("gen-").toLongOption.flatMap { g =>
+          LucyIndex(st.getPath.toString).manifest(spark)
+            .map(m => CurrentPointer(g, m.frontier.getOrElse(-1L)))
+        }
+      }
+      .maxByOption(_.gen)
   }
 
   private def currentOrRecovered(spark: SparkSession, rootDir: String): Option[CurrentPointer] =

@@ -76,5 +76,35 @@ class LucyStoreSpec extends SparkFunSuite {
     store.put(spark.range(0, 1).as[Long].map(PagesGen.page _).toDF(), batchId = 1L)
     val back = store.search("spark", QueryMode.Or, 500).collect().map(_.getLong(0)).toSet
     assert(back.contains(LucySpec.docIdForUrl("https://example.org/p/0")))
+
+    // ---- updated-url semantics probe (ADVICE r2): between compactions
+    // the index is additive — a replaced version's stale postings may
+    // still match; compact() restores exactness. This pins the facade
+    // doc's claim to observed behavior.
+    val p7Url = "https://example.org/p/7"
+    val p7Id = LucySpec.docIdForUrl(p7Url)
+    val newP7 = Seq(lucy.fixtures.Page(p7Url,
+      java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), null,
+      "xylophone quartz zebra", "en")).toDF()
+    store.put(newP7, batchId = 2L)
+    val oldTok = LucySpec.tokenize(
+      lucy.text.HtmlText.extractFromHtml(PagesGen.page(7).html)).head
+    // stale posting of the replaced version still matches pre-compact…
+    val pre = store.search(oldTok, QueryMode.Or, 1000).collect().map(_.getLong(0)).toSet
+    assert(pre.contains(p7Id), s"pre-compact: additive index keeps stale '$oldTok' posting")
+    // …while the new version's terms are live immediately
+    val newHits = store.search("xylophone", QueryMode.Or, 10).collect().map(_.getLong(0)).toSet
+    assert(newHits === Set(p7Id))
+    // compaction merges the update: exact again vs a from-scratch view
+    store.compact()
+    val contents = survivors
+      .union(spark.range(0, 1).as[Long].map(PagesGen.page _).toDF())
+      .filter(col("url") =!= p7Url)
+      .union(newP7)
+    probes.foreach { case (q, m, k) =>
+      assertSame(store.search(q, m, k), naiveOver(contents, q, m, k), s"updated[$q/$m]")
+    }
+    val post = store.search(oldTok, QueryMode.Or, 1000).collect().map(_.getLong(0)).toSet
+    assert(!post.contains(p7Id), "post-compact: replaced version's postings are purged")
   }
 }

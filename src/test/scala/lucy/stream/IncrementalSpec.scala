@@ -231,5 +231,16 @@ class IncrementalSpec extends SparkFunSuite {
     val comp = IncrementalIndexer.composite(spark, root)
     assert(partsOf(comp).exists(_.dir.endsWith("gen-1")), "recovered view must serve the base")
     assert(comp.segments(spark).count() > 0)
+
+    // ADVICE r2: the recovered frontier comes from the base generation's
+    // OWN manifest, so the already-compacted delta-0 is NOT re-included —
+    // df (hence idf) is exact, not merely per-doc-deduplicated
+    assert(partsOf(comp).length === 1, "compacted delta must not be re-included on recovery")
+    val cleaned160 = Ingest.cleanPages(PagesGen.pages(spark, 160))
+    val wantDf = Ingest.termTf(cleaned160).groupBy($"term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recDf = comp.termStats(spark).select("term", "df")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recDf === wantDf, "recovered view df must be exact (ADVICE r2 double-count)")
   }
 }
