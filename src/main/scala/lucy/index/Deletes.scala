@@ -50,7 +50,9 @@ case class TombstonedIndex(inner: SearchableIndex, override val tombstoneIds: Ar
     val deleted = Deletes.deletedDf(spark, inner.segments(spark), raw.keys.toSeq, tombstoneIds)
     raw.flatMap { case (t, st) =>
       val df2 = st.df - deleted.getOrElse(t, 0L)
-      if (df2 <= 0) None else Some(t -> st.copy(df = df2))
+      // rawDf keeps the pre-delete count: the scan/gather volume is the
+      // physical blocks, tombstones included (routing, ADVICE r2)
+      if (df2 <= 0) None else Some(t -> st.copy(df = df2, rawDf = st.df))
     }
   }
 

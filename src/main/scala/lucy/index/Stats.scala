@@ -6,8 +6,20 @@ import org.apache.spark.sql.functions._
 /** Corpus-level statistics needed by BM25 (SURVEY.md §2.4 A2–A4, A8). */
 case class CorpusStats(n: Long, avgdl: Double)
 
-/** Per-term statistics: document frequency + collection frequency. */
-case class TermStats(term: String, df: Long, cf: Long)
+/** Per-term statistics: document frequency + collection frequency.
+  *
+  * `rawDf` is the PRE-delete df — what a scan of the term's blocks will
+  * physically touch. TombstonedIndex.lookupTerms sets df to the exact
+  * post-delete value (scoring/idf) while preserving rawDf; for a plain
+  * index the two coincide (the -1 sentinel means "same as df"). The
+  * gather-vs-distributed routing decision must use rawDf: gatherLocal
+  * collects the raw blocks, tombstones included, so routing on the
+  * post-delete df could pull up to maxTombstones postings beyond the
+  * measured driver-kernel crossover (ADVICE r2).
+  */
+case class TermStats(term: String, df: Long, cf: Long, rawDf: Long = -1L) {
+  def gatherDf: Long = if (rawDf >= 0) rawDf else df
+}
 
 object Stats {
 

@@ -53,14 +53,18 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
     terms.flatMap(t => dfCache(t).map(t -> _)).toMap
   }
 
-  // prefix → expanded terms, cached (immutable index ⇒ never invalidates)
-  private val prefixCache = TrieMap[String, Seq[String]]()
+  // (prefix, cap) → expanded terms. Keyed by BOTH: the tombstone-aware
+  // prefix path re-expands the same prefix at growing caps (ADVICE r2).
+  // Invariant: the cache lives per engine == per immutable view; any
+  // mutation (put/delete/compact) rebuilds the engine (LucyStore
+  // invalidate), so entries never cross a tombstone-set change.
+  private val prefixCache = TrieMap[(String, Int), Seq[String]]()
 
   def search(query: String, mode: QueryMode.Value = QueryMode.And,
              k: Int = LucySpec.defaultK): DataFrame =
     Searcher.searchWith(spark, segmentsDf, query, mode, k, stats, lookup,
       blockCache = Some(blockCache),
       expand = (p, max) =>
-        prefixCache.getOrElseUpdate(p, Stats.expandPrefix(termStatsDf, p, max)),
+        prefixCache.getOrElseUpdate((p, max), Stats.expandPrefix(termStatsDf, p, max)),
       tombstones = index.tombstoneIds)
 }

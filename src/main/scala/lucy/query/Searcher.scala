@@ -156,18 +156,47 @@ object Searcher {
       case QueryMode.Phrase => LucySpec.tokenize(query)
       case _ => Array.empty
     }
+    var prefixDfMap: Map[String, lucy.index.TermStats] = null
     val terms: Array[String] = mode match {
       case QueryMode.Phrase => slots.distinct.sorted
       case QueryMode.Prefix =>
         val p = LucySpec.tokenize(query).headOption.getOrElse("")
         if (p.isEmpty) return empty
         require(expand != null, "Prefix mode needs a term-expansion source")
-        expand(p, LucySpec.maxPrefixExpand).toArray.sorted
+        val first = expand(p, LucySpec.maxPrefixExpand)
+        if (tombstones.isEmpty || first.length < LucySpec.maxPrefixExpand)
+          first.toArray.sorted
+        else {
+          // ADVICE r2: expansion runs over the RAW term stats, so when
+          // the cap binds under deletion, fully-deleted terms (post-
+          // delete df ≤ 0) would occupy expansion slots and the term set
+          // would diverge from the naive engine's "first maxPrefixExpand
+          // SURVIVING terms, ascending". Over-expand geometrically,
+          // drop non-survivors via lookup (tombstone-aware), stop when
+          // the cap is filled with survivors or matches are exhausted
+          // (expansion returned fewer than asked). Each round is one
+          // pruned stats scan over ≤cap terms; the loop only engages
+          // when tombstones exist AND the cap binds.
+          var cap = LucySpec.maxPrefixExpand
+          var expanded = first
+          var stats = lookup(expanded)
+          var surviving = expanded.filter(stats.contains)
+          while (surviving.length < LucySpec.maxPrefixExpand && expanded.length >= cap) {
+            cap *= 2
+            expanded = expand(p, cap)
+            stats = lookup(expanded)
+            surviving = expanded.filter(stats.contains)
+          }
+          val sel = surviving.take(LucySpec.maxPrefixExpand).toArray // ascending
+          val selSet = sel.toSet
+          prefixDfMap = stats.view.filterKeys(selSet).toMap
+          sel
+        }
       case _ => LucySpec.queryTerms(query)
     }
     if (terms.isEmpty) return empty
 
-    val dfMap = lookup(terms.toSeq)
+    val dfMap = if (prefixDfMap != null) prefixDfMap else lookup(terms.toSeq)
     // terms absent from the corpus: AND/Phrase can never match; OR drops them
     val conj = mode == QueryMode.And || mode == QueryMode.Phrase
     val present = terms.filter(dfMap.contains)
@@ -190,8 +219,12 @@ object Searcher {
       .filter(col("termHash").isin(hashes.toSeq: _*) &&
         col("term").isin(present.map(_.asInstanceOf[Any]).toSeq: _*))
 
-    val sumDf = present.map(dfMap(_).df).sum
-    if (sumDf <= gatherMaxPostings) {
+    // Routing + bucket sizing use the RAW (pre-delete) postings volume:
+    // the gather collects, and the exchange shuffles, the physical
+    // blocks — tombstoned postings included (ADVICE r2). Scoring idf
+    // still uses the exact post-delete df carried in the plan.
+    val sumRawDf = present.map(dfMap(_).gatherDf).sum
+    if (sumRawDf <= gatherMaxPostings) {
       gatherLocal(spark, segments, plan, blockCache)
     } else {
       val local =
@@ -203,7 +236,7 @@ object Searcher {
           // pay tens of idle tasks per query; a fixed small D would
           // bottleneck head queries at scale.
           val maxB = spark.sessionState.conf.numShufflePartitions
-          val numBuckets = math.max(1L, math.min(maxB.toLong, sumDf / 65536 + 1)).toInt
+          val numBuckets = math.max(1L, math.min(maxB.toLong, sumRawDf / 65536 + 1)).toInt
           bucketedLocal(spark, pruned, plan, numBuckets)
         }
       local.toDF("docId", "score", "nTerms")

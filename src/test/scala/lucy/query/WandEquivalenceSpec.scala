@@ -145,6 +145,47 @@ class WandEquivalenceSpec extends SparkFunSuite {
     assert(onlyTop.map(_.docId) === Array(Long.MaxValue))
   }
 
+  test("prefix expansion is tombstone-aware when the cap binds (ADVICE r2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 200 docs, each carrying a unique zz-prefixed term → the "zz" prefix
+    // matches 200 > maxPrefixExpand(128) terms. Deleting docs 10..69 fully
+    // deletes 60 of the FIRST 128 raw expansion slots: a raw-stats
+    // expansion would burn those slots and miss zz128..zz187, diverging
+    // from the naive engine over the surviving corpus.
+    val pages = (0 until 200).map { i =>
+      (s"u$i", new java.sql.Timestamp(i * 1000L), null.asInstanceOf[Array[Byte]],
+        f"zz$i%03d common filler", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    val dir = s"$tmp/prefixdel"
+    IndexBuilder.build(pages, dir)
+    val deletedUrls = (10 until 70).map(i => s"u$i")
+    val tombstones = deletedUrls.map(lucy.LucySpec.docIdForUrl).sorted.toArray
+    val tidx = TombstonedIndex(LucyIndex(dir), tombstones)
+
+    val survivors = pages.filter(!col("url").isin(deletedUrls.map(_.asInstanceOf[Any]): _*))
+    val cleaned = Ingest.cleanPages(survivors)
+    val (docmap, termTf) = (Ingest.docmap(cleaned), Ingest.termTf(cleaned))
+    val stats = Stats.corpusStats(docmap)
+    val naive = NaiveSearch.prefixSearch(termTf, docmap, stats, "zz", 150)
+    assert(naive.count() === 128, "expansion cap must bind on the surviving corpus")
+
+    // ADVICE r2 routing fix: lookupTerms scores with the exact post-delete
+    // df but preserves the raw df — the volume a gather/scan will touch
+    val st = tidx.lookupTerms(spark, Seq("common"))("common")
+    assert(st.df === 140L, "post-delete df")
+    assert(st.gatherDf === 200L, "raw df for routing")
+
+    assertSame(Searcher.search(spark, tidx, "zz", QueryMode.Prefix, 150), naive,
+      "prefix+delete (direct)")
+
+    // QueryEngine path: expansion cache keyed by (prefix, cap) — repeat
+    // queries must reuse entries without crossing caps
+    val eng = new QueryEngine(spark, tidx)
+    assertSame(eng.search("zz", QueryMode.Prefix, 150), naive, "prefix+delete (engine)")
+    assertSame(eng.search("zz", QueryMode.Prefix, 150), naive, "prefix+delete (engine, cached)")
+  }
+
   test("exact ties break by docId: duplicate documents") {
     import spark.implicits._
     // 40 identical docs + 10 others → guaranteed equal scores
