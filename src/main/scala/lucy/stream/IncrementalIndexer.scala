@@ -159,10 +159,11 @@ object IncrementalIndexer {
     val postings = parts.zipWithIndex.map { case (p, i) =>
       p.segments(spark).as[SegmentRow].flatMap { r =>
         val d = PostingBlock.decode(r.toBlock)
-        val ps = PostingBlock.decodePositions(r.toBlock, d.tfs)
+        // per-doc posVarint substreams are self-contained (absolute
+        // first + gaps): cut bytes, don't decode+re-encode (VERDICT r2)
+        val ps = PostingBlock.slicePositions(r.toBlock, d.tfs)
         d.docIds.indices.iterator.map { j =>
-          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j),
-            PostingBlock.encodePositions(ps(j)), i)
+          (r.term, d.docIds(j), d.tfs(j).toLong, d.docLens(j), ps(j), i)
         }
       }.toDF("term", "docId", "tf", "docLen", "posBytes", "srcIdx")
     }.reduce(_ unionByName _)
