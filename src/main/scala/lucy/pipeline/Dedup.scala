@@ -143,17 +143,23 @@ object Dedup {
     *    shuffle and the distinct never move signature arrays.
     */
   def minhashLshCandidates(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
-                           rowsPerBand: Int = 4, maxBandSize: Long = 10000,
+                           rowsPerBand: Int = 0, maxBandSize: Long = 10000,
+                           threshold: Double = 0.5,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
+    // Default (rowsPerBand=0, VERDICT r2 next-round #3): derive the
+    // banding from the target Jaccard threshold so the S-curve knee
+    // lands at it — callers get threshold-appropriate banding without
+    // knowing the sizing helper exists. Explicit rowsPerBand pins it.
+    val rpb = if (rowsPerBand > 0) rowsPerBand else minhashRowsPerBandFor(threshold, numPerms)
     val sigs = minhashSignatures(docs, n, numPerms, idCol, textCol)
-    val numBands = numPerms / rowsPerBand
+    val numBands = numPerms / rpb
     val banded = sigs.select(col(idCol),
       posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("bandPos", "band")),
       col("signature"))
       .withColumn("bandKey",
         xxhash64(col("band"),
-          slice(col("signature"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+          slice(col("signature"), col("band") * rpb + 1, lit(rpb))))
       .select(col(idCol), col("bandKey"))
     val cool = banded.join(
       banded.groupBy(col("bandKey")).agg(count(lit(1)).as("bsz"))

@@ -99,19 +99,31 @@ object Similarity {
     * of the code; a query scores only docs sharing ≥1 band value. Exact
     * cosine is computed on the candidates, so precision is 1 — only
     * recall is approximate (more bands → higher recall).
+    *
+    * Sizing (VERDICT r2 next-round #3): by DEFAULT (numPlanes=0,
+    * bandBits=0) the parameters are DERIVED from the corpus size via
+    * lshParamsFor — callers no longer need to know the sizing helper
+    * exists to get bounded buckets at scale. The count costs one
+    * column-pruned job; pass `corpusCount` when the caller already
+    * knows it (a catalog rowcount at 10^12 scale), or explicit
+    * numPlanes+bandBits to pin both.
     */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-                    numPlanes: Int = 16, bandBits: Int = 4,
+                    numPlanes: Int = 0, bandBits: Int = 0,
+                    corpusCount: Long = -1L,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val numBands = numPlanes / bandBits
-    val code = lshCodeUdf(numPlanes)
+    val (np, bb) =
+      if (numPlanes > 0 && bandBits > 0) (numPlanes, bandBits)
+      else lshParamsFor(if (corpusCount >= 0) corpusCount else corpus.count())
+    val numBands = np / bb
+    val code = lshCodeUdf(np)
     def banded(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec), code(col(vecCol)).as("code"))
         .select(col(id), col(vec),
           explode(array((0 until numBands).map(bnd =>
             struct(lit(bnd).as("band"),
-              shiftright(col("code"), bnd * bandBits)
-                .bitwiseAND(lit((1L << bandBits) - 1)).as("bandVal"))): _*)).as("bk"))
+              shiftright(col("code"), bnd * bb)
+                .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
         .select(col(id), col(vec), col("bk.band"), col("bk.bandVal"))
     val q = broadcast(banded(queries, "query_id", "qvec"))
     val c = banded(corpus, "neighbor_id", "cvec")
