@@ -145,6 +145,12 @@ object SparkEntry {
     */
   private val deleteWhere = "doc_id % 7 <> 0"
 
+  /** Hot-shingle cap for the dedup_ngram_capped entry — low enough to
+    * ENGAGE on the driver corpora (VERDICT r2 #1), shared between the
+    * Spark call and the SQL twin so they cannot drift.
+    */
+  private val cappedShingleDf = 5
+
   // ---- Spark-side helpers ----------------------------------------------
 
   /** Engine search mapped back to doc_id and re-ordered by
@@ -310,6 +316,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // VERDICT r2 #1: same operator with the hot-shingle cap ENGAGED
+    // (max shingle df is 8 at sf0.01, 28 at sf0.1 — cap 5 bites at
+    // both). The oracle mirrors the rare-candidate rule; shared/jaccard
+    // stay exact over ALL shingles, so the one regime where engine and
+    // oracle could silently diverge at scale now has a hard signal.
+    "dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5,
+        maxShingleDf = cappedShingleDf)
+        .orderBy(col("a"), col("b"))),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(Harness.documents(s, dir), n = 3, numPerms = 16,
         rowsPerBand = 4)
@@ -450,6 +466,36 @@ object SparkEntry {
          |pairs AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
          |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, shared,
+         |       shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+         |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+         |WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    // Mirrors Dedup.ngramJaccardPairs with maxShingleDf engaged:
+    // candidates require ≥1 shared RARE shingle (sdf ≤ cap) — the
+    // engine's scale rule — while shared/jaccard still count ALL shared
+    // shingles (the engine recovers hot contributions exactly via
+    // per-doc hot sets + array_intersect).
+    "dedup_ngram_capped" ->
+      s"""WITH tl AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |    t -> t <> '' AND length(t) <= 64 AND t NOT IN ($stopList)) AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM tl),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |sdf AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY 1),
+         |rare AS (SELECT doc_id, shingle FROM sh JOIN sdf USING (shingle)
+         |         WHERE sdf <= $cappedShingleDf),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
          |  GROUP BY 1, 2)
          |SELECT a, b, shared,
          |       shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard

@@ -20,6 +20,14 @@ class SparkEntrySpec extends SparkFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dedup_ngram_capped: the hot-shingle cap actually engages (VERDICT r2 #1)") {
+    import org.apache.spark.sql.functions._
+    val hot = lucy.pipeline.Dedup.shingles(Harness.documents(spark, sf), 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") > 5).count()
+    assert(hot > 0, "maxShingleDf=5 must exceed at least one shingle's df at this scale")
+  }
+
   test("every query executes and is non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).count()

@@ -56,15 +56,17 @@ class PipelineSpec extends SparkFunSuite {
   test("ngram jaccard is EXACT when the hot-shingle cap engages (ADVICE r1)") {
     import spark.implicits._
     // "boiler plate words here" shingles are shared by ALL 12 docs → hot
-    // under cap 5; docs 0/1 additionally share rare shingles. Exact
-    // Jaccard for (0,1) must count hot AND rare shared shingles.
+    // under cap 5; docs 0/1 additionally share rare shingles; docs 10/11
+    // are PURE boilerplate (all their shingles hot). Exact Jaccard for
+    // (0,1) must count hot AND rare shared shingles.
     val base = "boiler plate words here"
     val d = (0 until 12).map { i =>
       val tail =
         if (i == 0) "alpha beta gamma delta epsilon"
         else if (i == 1) "alpha beta gamma delta zeta"
+        else if (i >= 10) ""
         else s"unique$i only$i stuff$i more$i token$i"
-      (i.toLong, s"$base $tail")
+      (i.toLong, s"$base $tail".trim)
     }.toDF("doc_id", "text")
     def pairsAt(cap: Long) =
       Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.3, maxShingleDf = cap)
@@ -74,9 +76,14 @@ class PipelineSpec extends SparkFunSuite {
     assert(capped.contains((0L, 1L)), "rare-shingle candidate must survive the cap")
     assert(capped((0L, 1L)) === uncapped((0L, 1L)),
       "shared count and jaccard must be exact (hot shingles recovered)")
-    // pairs sharing ONLY hot shingles are not candidates under the cap —
-    // the documented recall tradeoff
-    assert(uncapped.keySet.forall { case (a, b) => capped.contains((a, b)) || a >= 2 })
+    // QUANTIFIED recall loss (VERDICT r2 #1): the only pair the cap can
+    // lose is one whose shared shingles are ALL hot — the planted pure-
+    // boilerplate pair (10,11), a byte-identical pair that exact dedup
+    // owns. Everything else survives.
+    assert(uncapped((10L, 11L))._2 === 1.0, "all-hot pair is a true near-dup uncapped")
+    assert(!capped.contains((10L, 11L)), "…and is the documented cap loss")
+    assert(uncapped.keySet -- capped.keySet === Set((10L, 11L)),
+      "the cap loses exactly the all-hot pair on this corpus")
   }
 
   test("minhash LSH and simhash stay bounded on a planted duplicate mega-cluster") {
