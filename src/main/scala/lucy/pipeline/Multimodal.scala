@@ -17,20 +17,69 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
   * Decode / feature-extract runs as batch-shaped partition processing
   * (`mapPartitions` over a typed Dataset — the JVM analog of
   * `mapInPandas`: one tight loop per partition, no per-row UDF
-  * dispatch). The decode itself is STUBBED deterministically —
-  * `fakeDecode` stands in for an image decoder — and clearly marked;
-  * swap it for a real codec and nothing else changes.
+  * dispatch). Since r3 the decode is REAL for two public header
+  * formats (BMP and binary PNM — parseable in pure JVM code, no media
+  * libraries needed); payloads with unknown magic fall back to the
+  * clearly-marked deterministic stub, which stands in for the exotic
+  * codecs this container cannot host.
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake "image header" parse. A real
-    * implementation would hand `bytes` to an image library and return
-    * actual dimensions; the fake derives them from the byte length so
-    * the oracle can state the same function.
+  /** STUB decoder (fallback only): deterministic fake "image header"
+    * parse for payloads whose magic no real parser here recognizes. A
+    * production deployment would hand `bytes` to a codec library; the
+    * fake derives dims from the byte length so the oracle can state the
+    * same function.
     */
   def fakeDecode(bytes: Array[Byte]): (Int, Int) = {
     val n = bytes.length
     (16 + n % 64, 16 + (n / 64) % 64)
+  }
+
+  /** REAL zero-dependency header decode (VERDICT r2 #4) for:
+    *  - BMP: 'B''M' magic, int32-LE width at offset 18, height at 22
+    *    (negative height = top-down orientation → magnitude). Guarded
+    *    by the DIB header size at offset 14 (one of the published
+    *    BITMAPCOREHEADER/INFOHEADER/V4/V5 sizes) so text that merely
+    *    starts with "BM" cannot false-positive.
+    *  - binary PNM (P4/P5/P6): ASCII magic, then whitespace/#-comment
+    *    separated width and height.
+    * Unknown magic or malformed header → None (stub fallback).
+    */
+  def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val dib = le32(bytes, 14)
+      val w = le32(bytes, 18)
+      val h = le32(bytes, 22)
+      if (Set(12, 40, 52, 56, 108, 124).contains(dib) &&
+        w > 0 && w <= (1 << 24) && h != 0 && math.abs(h) <= (1 << 24))
+        Some((w, math.abs(h)))
+      else None
+    } else if (bytes.length >= 3 && bytes(0) == 'P'.toByte &&
+      bytes(1) >= '4'.toByte && bytes(1) <= '6'.toByte &&
+      Character.isWhitespace(bytes(2).toChar)) {
+      parsePnmDims(bytes)
+    } else None
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) |
+      ((b(i + 3) & 0xFF) << 24)
+
+  private def parsePnmDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    def nextInt(): Option[Int] = {
+      while (i < b.length &&
+        (Character.isWhitespace(b(i).toChar) || b(i) == '#'.toByte)) {
+        if (b(i) == '#'.toByte) { while (i < b.length && b(i) != '\n'.toByte) i += 1 }
+        else i += 1
+      }
+      val st = i
+      while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) i += 1
+      if (i > st && i - st <= 8) Some(new String(b, st, i - st, "US-ASCII").toInt)
+      else None
+    }
+    for { w <- nextInt(); h <- nextInt(); if w > 0 && h > 0 } yield (w, h)
   }
 
   /** Attach a binary payload column derived from text (the sandbox has
@@ -40,8 +89,9 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
-  /** Batch feature extraction over the binary column: dims (stub
-    * decode), mean byte value, 16-bin byte histogram.
+  /** Batch feature extraction over the binary column: dims (REAL header
+    * decode for BMP/PNM, stub fallback otherwise), mean byte value,
+    * 16-bin byte histogram.
     */
   def extractFeatures(docs: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload"): Dataset[MediaFeatures] = {
@@ -52,7 +102,7 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          val (w, h) = fakeDecode(b)
+          val (w, h) = decodeDims(b).getOrElse(fakeDecode(b))
           val hist = new Array[Long](16)
           var sum = 0L
           var i = 0
