@@ -40,7 +40,7 @@ final class LucyStore(spark: SparkSession, rootDir: String,
 
   private def engine: QueryEngine = synchronized {
     engineCache.getOrElse {
-      val e = new QueryEngine(spark, view)
+      val e = new QueryEngine(spark, view, config.stemming)
       engineCache = Some(e)
       e
     }

@@ -20,7 +20,15 @@ case class IndexConfig(
       * (same url, NEW warc_ts) pass through — latest-wins belongs to
       * compaction (PF2), not the ingest filter.
       */
-    streamDedupWatermark: Option[String] = None)
+    streamDedupWatermark: Option[String] = None,
+    /** §8.7 r3: Porter-stem tokens after the stopword/length filters.
+      * Frozen OFF by LucySpec; a reconciliation event flips the LucySpec
+      * val and every default follows. Query-side tokenization must use
+      * the same flag (Searcher/QueryEngine stem parameter) — the
+      * stemming-ON golden set + StemmedRankIdentitySpec prove the flip
+      * end-to-end.
+      */
+    stemming: Boolean = lucy.LucySpec.stemming)
 
 /** Anything the query path can search: one segment index or a
   * base+deltas composite (SURVEY.md §2.8 SET3).
@@ -156,7 +164,7 @@ object IndexBuilder {
     // Stages 1–3; persisted because docmap, stats and segments all
     // consume it. MEMORY_AND_DISK: at cluster scale this is the classic
     // materialize-once tradeoff (tokens ≈ corpus size; spills to disk).
-    val cleaned = Ingest.cleanPages(pages, config.lang)
+    val cleaned = Ingest.cleanPages(pages, config.lang, config.stemming)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // Stage 5 input: (docId, docLen, term, tf, posBytes) — computed in

@@ -24,6 +24,12 @@ object Ingest {
   /** F2 — LucySpec tokenizer (SURVEY.md §8.2). */
   val tokenizeUdf = udf((text: String) => LucySpec.tokenize(text))
 
+  /** Tokenizer with an explicit stemming flag (§8.7 r3: the stemming-ON
+    * golden path; LucySpec.stemming stays the frozen default).
+    */
+  def tokenizeUdfFor(stem: Boolean) =
+    udf((text: String) => LucySpec.tokenizeWith(text, stem))
+
   /** One document's postings for one term: tf + the varint-encoded
     * position stream (§8.3/§8.7 — absolute first position, then gaps).
     */
@@ -72,7 +78,8 @@ object Ingest {
     * hash aggregation (map-side combine), not a row_number window, which
     * would sort whole shuffle partitions.
     */
-  def cleanPages(pages: DataFrame, lang: Option[String] = Some("en")): DataFrame = {
+  def cleanPages(pages: DataFrame, lang: Option[String] = Some("en"),
+                 stem: Boolean = LucySpec.stemming): DataFrame = {
     val filtered = lang.fold(pages)(l => pages.filter(col("lang") === l))
     val extracted = filtered
       .withColumn("text", extractTextUdf(col("html"), col("text")))
@@ -86,7 +93,7 @@ object Ingest {
         col("r.text").as("text"), col("r.lang").as("lang"))
     deduped
       .withColumn("docId", docIdCol(col("url")))
-      .withColumn("tokens", tokenizeUdf(col("text")))
+      .withColumn("tokens", tokenizeUdfFor(stem)(col("text")))
       .select(col("docId"), col("url"), col("warc_ts"), col("lang"), col("tokens"))
   }
 

@@ -73,9 +73,10 @@ object NaiveSearch {
     */
   def search(termTf: DataFrame, docmap: DataFrame, stats: CorpusStats,
              query: String, mode: QueryMode.Value = QueryMode.And,
-             k: Int = LucySpec.defaultK): DataFrame = {
+             k: Int = LucySpec.defaultK,
+             stem: Boolean = LucySpec.stemming): DataFrame = {
     val spark = termTf.sparkSession
-    val terms = LucySpec.queryTerms(query)
+    val terms = LucySpec.tokenizeWith(query, stem).distinct.sorted
     // stopword-only / empty query ⇒ empty result, not an error (§8.6)
     if (terms.isEmpty) return emptyResult(spark)
     val perDoc = scoreAll(termTf, docmap, stats, terms)
@@ -94,9 +95,10 @@ object NaiveSearch {
     */
   def phraseSearch(tokPos: DataFrame, termTf: DataFrame, docmap: DataFrame,
                    stats: CorpusStats, query: String,
-                   k: Int = LucySpec.defaultK): DataFrame = {
+                   k: Int = LucySpec.defaultK,
+                   stem: Boolean = LucySpec.stemming): DataFrame = {
     val spark = termTf.sparkSession
-    val slots = LucySpec.tokenize(query)
+    val slots = LucySpec.tokenizeWith(query, stem)
     if (slots.isEmpty) return emptyResult(spark)
     val terms = slots.distinct.sorted
     // candidate phrase starts: intersect per-slot (docId, pos - slotNo)
@@ -117,9 +119,12 @@ object NaiveSearch {
     */
   def prefixSearch(termTf: DataFrame, docmap: DataFrame, stats: CorpusStats,
                    query: String, k: Int = LucySpec.defaultK,
-                   maxExpand: Int = LucySpec.maxPrefixExpand): DataFrame = {
+                   maxExpand: Int = LucySpec.maxPrefixExpand,
+                   stem: Boolean = LucySpec.stemming): DataFrame = {
     val spark = termTf.sparkSession
-    val prefix = LucySpec.tokenize(query).headOption.getOrElse("")
+    // the prefix is normalized (and under stemming, stemmed) through the
+    // same tokenizer the corpus terms went through — both engines agree
+    val prefix = LucySpec.tokenizeWith(query, stem).headOption.getOrElse("")
     if (prefix.isEmpty) return emptyResult(spark)
     val expanded = termTf.select(col("term")).distinct()
       .filter(col("term").startsWith(prefix))
@@ -133,10 +138,11 @@ object NaiveSearch {
   /** Dispatch on mode — golden generation and rank-identity tests. */
   def forQuery(termTf: DataFrame, tokPos: DataFrame, docmap: DataFrame,
                stats: CorpusStats, query: String, mode: QueryMode.Value,
-               k: Int): DataFrame = mode match {
-    case QueryMode.Phrase => phraseSearch(tokPos, termTf, docmap, stats, query, k)
-    case QueryMode.Prefix => prefixSearch(termTf, docmap, stats, query, k)
-    case m                => search(termTf, docmap, stats, query, m, k)
+               k: Int, stem: Boolean = LucySpec.stemming): DataFrame = mode match {
+    case QueryMode.Phrase => phraseSearch(tokPos, termTf, docmap, stats, query, k, stem)
+    case QueryMode.Prefix =>
+      prefixSearch(termTf, docmap, stats, query, k, LucySpec.maxPrefixExpand, stem)
+    case m                => search(termTf, docmap, stats, query, m, k, stem)
   }
 
   /** J4 — join top-k back to display columns. k is tiny: isin filter on

@@ -21,7 +21,8 @@ import lucy.index.{CorpusStats, SearchableIndex, Stats, TermStats}
   *
   * Thread-safe; Bench drives it from 8 concurrent client threads.
   */
-class QueryEngine(spark: SparkSession, index: SearchableIndex) {
+class QueryEngine(spark: SparkSession, index: SearchableIndex,
+                  stem: Boolean = LucySpec.stemming) {
 
   lazy val stats: CorpusStats = index.corpusStats(spark)
   private val dfCache = TrieMap[String, Option[TermStats]]()
@@ -66,5 +67,5 @@ class QueryEngine(spark: SparkSession, index: SearchableIndex) {
       blockCache = Some(blockCache),
       expand = (p, max) =>
         prefixCache.getOrElseUpdate((p, max), Stats.expandPrefix(termStatsDf, p, max)),
-      tombstones = index.tombstoneIds)
+      tombstones = index.tombstoneIds, stem = stem)
 }

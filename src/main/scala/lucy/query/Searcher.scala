@@ -129,11 +129,12 @@ object Searcher {
 
   def search(spark: SparkSession, index: SearchableIndex, query: String,
              mode: QueryMode.Value = QueryMode.And,
-             k: Int = LucySpec.defaultK): DataFrame =
+             k: Int = LucySpec.defaultK,
+             stem: Boolean = LucySpec.stemming): DataFrame =
     searchWith(spark, index.segments(spark), query, mode, k, index.corpusStats(spark),
       terms => index.lookupTerms(spark, terms),
       expand = (p, max) => Stats.expandPrefix(index.termStats(spark), p, max),
-      tombstones = index.tombstoneIds)
+      tombstones = index.tombstoneIds, stem = stem)
 
   /** Search with externally supplied plan inputs. QueryEngine passes a
     * REUSED segments DataFrame and cached stats: re-creating the scan per
@@ -147,20 +148,23 @@ object Searcher {
                  gatherMaxPostings: Long = defaultGatherMaxPostings,
                  blockCache: Option[BlockCache] = None,
                  expand: (String, Int) => Seq[String] = null,
-                 tombstones: Array[Long] = Array.empty): DataFrame = {
+                 tombstones: Array[Long] = Array.empty,
+                 stem: Boolean = LucySpec.stemming): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), resultSchema)
 
-    // term set (+ phrase slots) by mode (§8.6 r2)
+    // term set (+ phrase slots) by mode (§8.6 r2). `stem` must match the
+    // flag the index was built with (§8.7 r3): query tokens are stemmed
+    // iff corpus tokens were.
     val slots: Array[String] = mode match {
-      case QueryMode.Phrase => LucySpec.tokenize(query)
+      case QueryMode.Phrase => LucySpec.tokenizeWith(query, stem)
       case _ => Array.empty
     }
     var prefixDfMap: Map[String, lucy.index.TermStats] = null
     val terms: Array[String] = mode match {
       case QueryMode.Phrase => slots.distinct.sorted
       case QueryMode.Prefix =>
-        val p = LucySpec.tokenize(query).headOption.getOrElse("")
+        val p = LucySpec.tokenizeWith(query, stem).headOption.getOrElse("")
         if (p.isEmpty) return empty
         require(expand != null, "Prefix mode needs a term-expansion source")
         val first = expand(p, LucySpec.maxPrefixExpand)
@@ -192,7 +196,7 @@ object Searcher {
           prefixDfMap = stats.view.filterKeys(selSet).toMap
           sel
         }
-      case _ => LucySpec.queryTerms(query)
+      case _ => LucySpec.tokenizeWith(query, stem).distinct.sorted
     }
     if (terms.isEmpty) return empty
 
