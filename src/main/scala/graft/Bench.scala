@@ -14,11 +14,14 @@ import lucy.query.{QueryEngine, QuerySet}
   *  A. index build over a freshly generated pages corpus (the engine's
   *     headline: docs/sec through dedup → extract → tokenize → tf →
   *     stats → salt → range sort → pack → write),
-  *  B. the 20-query reference set, sequential (latency) after a warm-up,
+  *  B. the reference query set (30 since r3, incl. the head-term
+  *     combinations whose Σdf > 2^20 exercises the bucket-exchange
+  *     shape at bench scale), sequential (latency) after a warm-up,
   *  C. the same set driven by 8 concurrent client threads (throughput —
   *     Spark schedules concurrent jobs; this is the realistic serving
   *     shape and what the N→4N scaling criterion is measured on),
-  *  D. the 21 harness queries over SPARK_GRAFT_SF_DIR (operator sweep).
+  *  D. every SparkEntry.queries entry over SPARK_GRAFT_SF_DIR
+  *     (operator sweep).
   *
   * Corpus size defaults by SF dir and is overridable with
   * SPARK_GRAFT_BENCH_DOCS. Two-parallelism scaling evidence

@@ -7,9 +7,13 @@ import lucy.LucySpec
   * queries, stopword-only and stopword-laden input, duplicate terms,
   * absent terms, punctuation/case normalization, k ∈ {1, 10, 100}),
   * extended in r2 with phrase and prefix queries (stopword elision,
-  * absent-term phrase, broad + narrow prefixes). Goldens generated from
-  * LucySpec via NaiveSearch live in src/test/resources/golden_queries.json
-  * (SURVEY.md §5.2 rank-identity).
+  * absent-term phrase, broad + narrow prefixes), and in r3 with
+  * head-term combinations whose Σ df crosses the scatter-gather
+  * ceiling at bench scale (distributed-shape coverage, VERDICT r2 #2).
+  * Goldens generated from LucySpec via NaiveSearch live in
+  * src/test/resources/golden_queries.json (SURVEY.md §5.2
+  * rank-identity); earlier rounds' golden lines stay byte-frozen —
+  * extensions only append.
   */
 object QuerySet {
 
@@ -44,10 +48,20 @@ object QuerySet {
     Q("phrase_dup", "spark spark", QueryMode.Phrase, 10),
     // r2: prefix queries (ascending-term expansion, capped)
     Q("prefix_wa", "wa", QueryMode.Prefix, 10),
-    Q("prefix_s", "s", QueryMode.Prefix, 25))
+    Q("prefix_s", "s", QueryMode.Prefix, 25),
+    // r3 (VERDICT r2 #2): head-term combinations sized so Σ raw df
+    // exceeds the 2^20 scatter-gather ceiling at the 270k-doc driver
+    // bench corpus (each head term df ≈ N) — BENCH phases B/C then
+    // exercise the BUCKET-EXCHANGE shape, not only the gather path.
+    // and_head3x sits near the crossover: gathered at 270k, exchanged
+    // at the 1.8M campaign scale.
+    Q("and_head3x", "spark shuffle index", QueryMode.And, 10),
+    Q("and_head5x", "spark shuffle index posting query", QueryMode.And, 10),
+    Q("or_head6x", "spark shuffle index posting query merge", QueryMode.Or, 100))
 
   require(reference.map(_.id).distinct.length == reference.length)
-  require(reference.count(_.mode == QueryMode.And) == 10)
+  require(reference.count(_.mode == QueryMode.And) == 12)
+  require(reference.count(_.mode == QueryMode.Or) == 11)
   require(reference.count(_.mode == QueryMode.Phrase) == 5)
   require(reference.count(_.mode == QueryMode.Prefix) == 2)
 }
