@@ -101,6 +101,22 @@ object Bench {
       }
     }
 
+    // Phase E (r3): compaction wall-time — base 50k + delta 10k folded
+    // into a new generation (the merge now SLICES position streams
+    // through instead of decode/re-encode; VERDICT r2 #5). Fixed sizes
+    // so the number is comparable across rounds.
+    {
+      import lucy.stream.IncrementalIndexer
+      val root = Files.createTempDirectory("lucy-bench-store").toString + "/store"
+      IncrementalIndexer.bootstrap(PagesGen.pages(spark, 50000, cpus.toInt), root)
+      import spark.implicits._
+      IncrementalIndexer.indexBatch(
+        spark.range(50000, 60000).as[Long].map(PagesGen.page _).toDF(), root, 0L)
+      timed("compact_50k_plus_10k") {
+        IncrementalIndexer.compact(spark, root)
+      }
+    }
+
     // Locale.ROOT: default-locale "%.3f" yields comma decimals under e.g.
     // de_DE and would crash .toDouble after all phases complete (ADVICE r1)
     def num(fmt: String, v: Double): Double =

