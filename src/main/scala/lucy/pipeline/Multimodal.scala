@@ -46,12 +46,15 @@ object Multimodal {
     *    separated width and height.
     * Unknown magic or malformed header → None (stub fallback).
     */
+  /** Published DIB header sizes (CORE/INFO/V2/V3/V4/V5). */
+  private val dibSizes = Set(12, 40, 52, 56, 108, 124)
+
   def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
       val dib = le32(bytes, 14)
       val w = le32(bytes, 18)
       val h = le32(bytes, 22)
-      if (Set(12, 40, 52, 56, 108, 124).contains(dib) &&
+      if (dibSizes.contains(dib) &&
         w > 0 && w <= (1 << 24) && h != 0 && math.abs(h) <= (1 << 24))
         Some((w, math.abs(h)))
       else None

@@ -181,12 +181,21 @@ object Searcher {
           // (expansion returned fewer than asked). Each round is one
           // pruned stats scan over ≤cap terms; the loop only engages
           // when tombstones exist AND the cap binds.
+          // Hard ceiling 2^22: guarantees termination and bounds the
+          // driver-side expansion collect (~100 MB of terms) even in the
+          // pathological state where millions of consecutive matching
+          // terms are fully deleted. Beyond it the engine returns the
+          // survivors found so far — compact() (which purges tombstones)
+          // restores exactness; reaching the ceiling at all implies a
+          // store far past its compaction debt.
+          val maxCap = 1 << 22
           var cap = LucySpec.maxPrefixExpand
           var expanded = first
           var stats = lookup(expanded)
           var surviving = expanded.filter(stats.contains)
-          while (surviving.length < LucySpec.maxPrefixExpand && expanded.length >= cap) {
-            cap *= 2
+          while (surviving.length < LucySpec.maxPrefixExpand &&
+            expanded.length >= cap && cap < maxCap) {
+            cap = math.min(cap * 2, maxCap)
             expanded = expand(p, cap)
             stats = lookup(expanded)
             surviving = expanded.filter(stats.contains)
