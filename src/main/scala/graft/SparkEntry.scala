@@ -377,6 +377,18 @@ object SparkEntry {
         .select(col("doc_id"), col("fingerprint"), col("simhash"))
         .orderBy(col("doc_id"))),
 
+    // embedding-cosine near-dup (the fifth dedup family of the brief):
+    // exact all-pairs under the oracle; the LSH-bucketed variant is the
+    // scale path (rows-only — random hyperplanes aren't SQL; its
+    // precision-1/recall property lives in PipelineSpec).
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(Harness.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("a"), col("b"))),
+
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosinePairsLsh(Harness.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("a"), col("b"))),
+
     // -- similarity search over embeddings --------------------------------
     "ann_brute_cosine" -> ((s, dir) => {
       val emb = Harness.embeddings(s, dir)
@@ -577,6 +589,13 @@ object SparkEntry {
          |  (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
          |    + len(regexp_split_to_array(trim(text), ' +')))::BIGINT AS bpe_ish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a, b""".stripMargin,
 
     "ann_brute_cosine" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

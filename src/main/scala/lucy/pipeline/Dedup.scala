@@ -180,6 +180,70 @@ object Dedup {
       .select(col("a"), col("b"), col("est_jaccard"))
   }
 
+  /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT
+    * all-pairs variant: the correctness baseline and the DuckDB-oracle
+    * twin (cosineCol bit-matches list_cosine_similarity; see
+    * ann_brute_cosine). O(n²) — verification scale only; the 100 TB
+    * path is [[embeddingCosinePairsLsh]].
+    */
+  def embeddingCosinePairs(vecs: DataFrame, threshold: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup at scale: sign-LSH banded candidate
+    * generation (same skew defenses as the other sketch dedups — the
+    * self-join carries ids only, buckets above maxBucketSize are
+    * dropped) followed by EXACT cosine verification. Precision is 1
+    * (every returned pair truly clears the threshold — the result is a
+    * subset of [[embeddingCosinePairs]]); only recall is approximate,
+    * and near-identical vectors collide in almost every band. Band
+    * geometry derives from the corpus size by default (lshParamsFor),
+    * like Similarity.lshCosineTopK.
+    */
+  def embeddingCosinePairsLsh(vecs: DataFrame, threshold: Double,
+                              numPlanes: Int = 0, bandBits: Int = 0,
+                              corpusCount: Long = -1L, maxBucketSize: Long = 10000,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val (np, bb) =
+      if (numPlanes > 0 && bandBits > 0) (numPlanes, bandBits)
+      else Similarity.lshParamsFor(if (corpusCount >= 0) corpusCount else vecs.count())
+    val numBands = np / bb
+    val code = Similarity.lshCodeUdf(np)
+    val banded = vecs
+      .select(col(idCol).as("id"), code(col(vecCol)).as("code"))
+      .select(col("id"),
+        explode(array((0 until numBands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftright(col("code"), bnd * bb)
+              .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bandVal"))
+    val cool = banded.join(
+      banded.groupBy(col("band"), col("bandVal")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucketSize).select("band", "bandVal"),
+      Seq("band", "bandVal"), "left_semi")
+      .select(col("id"), col("band"), col("bandVal")) // USING join fronts the keys
+    val l = cool.toDF("a", "band", "bandVal")
+    val r = cool.toDF("b", "band", "bandVal")
+    val withVec = vecs.select(col(idCol), col(vecCol))
+    l.join(r, Seq("band", "bandVal"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .join(withVec.toDF("a", "va"), Seq("a"))
+      .join(withVec.toDF("b", "vb"), Seq("b"))
+      .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** SimHash core (shared with TextAnalysis.simhashUdf). */
   def simhash64(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)

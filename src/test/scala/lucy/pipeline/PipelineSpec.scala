@@ -204,6 +204,25 @@ class PipelineSpec extends SparkFunSuite {
     assert((feats(2L).width, feats(2L).height) === (16 + n2 % 64, 16 + (n2 / 64) % 64))
   }
 
+  test("embedding-cosine near-dup: LSH variant is a precision-1 subset with recall") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingCosinePairs(emb, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "threshold 0.4 must be non-degenerate at sf0.001 (66 pairs)")
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // precision 1: every LSH pair is in the exact set with the SAME cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(math.abs(exact(k) - c) < 1e-12)
+    }
+    // recall: banded collision probability at cos≈0.4 is ~0.5 with the
+    // derived (16,4) geometry — assert a conservative floor
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub decode") {
     val feats = Multimodal.extractFeatures(Multimodal.withPayload(docs)).collect()
     assert(feats.length === 6)

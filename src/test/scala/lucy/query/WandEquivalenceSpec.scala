@@ -65,7 +65,12 @@ class WandEquivalenceSpec extends SparkFunSuite {
     ("spark zzznotfound", QueryMode.Or, 10),
     ("the and of", QueryMode.And, 10),             // stopword-only
     ("merge", QueryMode.And, 1),                   // k=1
-    ("sort join scan", QueryMode.Or, 200)          // k > matches
+    ("sort join scan", QueryMode.Or, 200),         // k > matches
+    // r3 bench head-combinations (bucket-exchange shape at scale) —
+    // property-forced through all shapes here too
+    ("spark shuffle index", QueryMode.And, 10),
+    ("spark shuffle index posting query", QueryMode.And, 10),
+    ("spark shuffle index posting query merge", QueryMode.Or, 100)
   )
 
   /** Force an execution shape: gatherMax = Long.MaxValue → scatter-gather
