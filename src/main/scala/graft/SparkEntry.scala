@@ -406,6 +406,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN (r3): the second scale path — coarse-quantizer cells +
+    // nprobe probing, corpus never shuffles (broadcast probe join).
+    // rows-only like the LSH twin (k-means cells aren't SQL); the
+    // precision-1/recall/determinism properties live in PipelineSpec.
+    "ann_ivf_cosine" -> ((s, dir) => {
+      val emb = Harness.embeddings(s, dir)
+      Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // -- multimodal plumbing ----------------------------------------------
     // VERDICT r2 #4: REAL header decode over real format bytes. MediaGen
     // writes BMP/PPM/PGM from the public specs; fixture 4 is non-media

@@ -95,6 +95,142 @@ object Similarity {
     (numBands * bandBits, bandBits)
   }
 
+  // ---- IVF (inverted-file) ANN — the second scale path (r3) ------------
+
+  /** Deterministic spherical k-means coarse quantizer, trained on a
+    * bounded DRIVER-side sample (the classic IVF design: the model is
+    * tiny — numLists × dim doubles — and training data is capped, so
+    * train offline/driver-side and keep the DISTRIBUTED work where the
+    * scale is: assignment is a narrow map over the corpus, candidate
+    * generation a broadcast probe-join). Determinism: the sample is
+    * hash-selected (not partition-order-selected), init = the first
+    * numLists sample vectors in ascending id order, fixed iteration
+    * count, ties broken by lowest list id.
+    */
+  def trainIvfCentroids(corpus: DataFrame, numLists: Int, corpusCount: Long,
+                        sampleCap: Int = 65536, iters: Int = 10,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(numLists >= 1, "numLists must be >= 1")
+    // hash-sample ≈ sampleCap rows, independent of partitioning
+    val modulus = math.max(1L, corpusCount / sampleCap)
+    val sampled = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(modulus)) === 0)
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleCap)
+      .collect()
+      .map(r => normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
+    require(sampled.length >= numLists,
+      s"sample ${sampled.length} smaller than numLists=$numLists")
+    var centroids = sampled.take(numLists).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(numLists)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](numLists)
+      sampled.foreach { v =>
+        val li = nearestList(v, centroids)
+        val s = sums(li)
+        var d = 0
+        while (d < v.length) { s(d) += v(d); d += 1 }
+        counts(li) += 1
+      }
+      var li = 0
+      while (li < numLists) {
+        // empty list keeps its old centroid (deterministic, no resample)
+        if (counts(li) > 0) centroids(li) = normalize(sums(li))
+        li += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** argmax dot(v, centroid) — cosine order on normalized centroids;
+    * ties to the lowest list id.
+    */
+  private def nearestList(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var li = 0
+    while (li < centroids.length) {
+      val c = centroids(li)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * c(d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = li }
+      li += 1
+    }
+    best
+  }
+
+  /** nprobe nearest list ids for a query vector, ascending by rank. */
+  private def probeLists(v: Array[Double], centroids: Array[Array[Double]],
+                         nprobe: Int): Array[Int] = {
+    val dots = centroids.indices.map { li =>
+      val c = centroids(li)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * c(d); d += 1 }
+      (-dot, li)
+    }
+    dots.sorted.take(nprobe).map(_._2).toArray
+  }
+
+  /** IVF ANN: corpus partitioned into numLists coarse cells; a query
+    * scores only the cells of its nprobe nearest centroids. Exact
+    * cosine on the candidates → precision 1; recall is set by nprobe
+    * (nprobe = numLists recovers brute force). Defaults derive from the
+    * corpus size: numLists ≈ √n (the standard IVF heuristic — balances
+    * cell size n/K against probe cost K), nprobe = max(2, numLists/4).
+    *
+    * Scale shape: centroids are a tiny driver model (K·dim doubles);
+    * assignment is one narrow UDF map over the corpus (pipelined with
+    * the scan); the probe side is BROADCAST (queries × nprobe rows), so
+    * the corpus never shuffles — at 10^12 rows that is the entire
+    * difference between this and a join-reshuffle design.
+    */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    numLists: Int = 0, nprobe: Int = 0, corpusCount: Long = -1L,
+                    iters: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = if (corpusCount >= 0) corpusCount else corpus.count()
+    val nl = if (numLists > 0) numLists
+      else math.max(4, math.min(n, math.round(math.sqrt(n.toDouble)))).toInt
+    val np = if (nprobe > 0) math.min(nprobe, nl) else math.max(2, nl / 4)
+    val centroids = trainIvfCentroids(corpus, nl, n, iters = iters,
+      idCol = idCol, vecCol = vecCol)
+
+    val assignUdf = udf((v: Seq[Float]) =>
+      nearestList(normalize(v.toArray.map(_.toDouble)), centroids))
+    val probeUdf = udf((v: Seq[Float]) =>
+      probeLists(normalize(v.toArray.map(_.toDouble)), centroids, np))
+
+    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("listId", assignUdf(col("cvec")))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("listId", explode(probeUdf(col("qvec")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(lists, Seq("listId"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN via banded sign-LSH: corpus bucketed on `bandBits`-wide bands
     * of the code; a query scores only docs sharing ≥1 band value. Exact
     * cosine is computed on the candidates, so precision is 1 — only

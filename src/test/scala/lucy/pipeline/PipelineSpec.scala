@@ -204,6 +204,33 @@ class PipelineSpec extends SparkFunSuite {
     assert((feats(2L).width, feats(2L).height) === (16 + n2 % 64, 16 + (n2 / 64) % 64))
   }
 
+  test("IVF ANN: precision-1 candidates, recall vs brute force, deterministic (r3)") {
+    import org.apache.spark.sql.functions.col
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteCosineTopK(emb, queries, k = 5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      def run() = Similarity.ivfCosineTopK(emb, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val ivf = run()
+      assert(ivf.nonEmpty)
+      // determinism: hash-sampled training + fixed init/iters/tie-breaks
+      assert(run().toSeq === ivf.toSeq, s"$sf: IVF must be run-deterministic")
+      // precision 1: every IVF hit carries the exact cosine
+      ivf.foreach { case (q, nbr, c) =>
+        brute.get((q, nbr)).foreach(exact => assert(math.abs(c - exact) < 1e-12)) }
+      // recall@5 vs brute: nprobe/numLists defaults (~1/4 of cells
+      // probed) must recover a solid share of true neighbors
+      val bruteTop = brute.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ivfByQ = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = bruteTop.map { case (q, top) =>
+        ivfByQ.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size }
+      assert(recalls.sum / recalls.size > 0.2,
+        s"$sf mean IVF recall ${recalls.sum / recalls.size}")
+    }
+  }
+
   test("embedding-cosine near-dup: LSH variant is a precision-1 subset with recall") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
