@@ -180,6 +180,20 @@ object Dedup {
       .select(col("a"), col("b"), col("est_jaccard"))
   }
 
+  /** Tight-loop dot product over float vectors. Value is BIT-IDENTICAL
+    * to Similarity.dotCol (same left-to-right double fold) — this
+    * exists because higher-order-function Columns evaluate interpreted
+    * (no codegen) with a per-element lambda + a per-pair intermediate
+    * array: at n²/2 pair volume the UDF loop is ~10× cheaper.
+    */
+  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT
     * all-pairs variant: the correctness baseline and the DuckDB-oracle
     * twin (cosineCol bit-matches list_cosine_similarity; see
@@ -189,10 +203,21 @@ object Dedup {
   def embeddingCosinePairs(vecs: DataFrame, threshold: Double,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
-    val a = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // norms precomputed per ROW (n of them), not per PAIR (n²/2): the
+    // pair side pays only the dot product. Bit-identical to cosineCol
+    // (same ops, same order — the norm never depends on the pair).
+    // The a<b non-equi join plans as BroadcastNestedLoopJoin whose
+    // parallelism is the STREAMED side's partitioning — a single-file
+    // parquet read would run the n²/2 dot products near-serially, so
+    // spread the streamed side first (tiny narrow shuffle of n rows).
+    val spark = vecs.sparkSession
+    val withNorm = vecs.select(col(idCol), col(vecCol),
+      Similarity.normCol(col(vecCol)).as("nrm"))
+    val a = withNorm.toDF("a", "va", "na")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val b = withNorm.toDF("b", "vb", "nb")
     a.join(b, col("a") < col("b"))
-      .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb")))
+      .withColumn("cosine", dotUdf(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
@@ -232,14 +257,15 @@ object Dedup {
       .select(col("id"), col("band"), col("bandVal")) // USING join fronts the keys
     val l = cool.toDF("a", "band", "bandVal")
     val r = cool.toDF("b", "band", "bandVal")
-    val withVec = vecs.select(col(idCol), col(vecCol))
+    val withVec = vecs.select(col(idCol), col(vecCol),
+      Similarity.normCol(col(vecCol)).as("nrm"))
     l.join(r, Seq("band", "bandVal"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-      .join(withVec.toDF("a", "va"), Seq("a"))
-      .join(withVec.toDF("b", "vb"), Seq("b"))
-      .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb")))
+      .join(withVec.toDF("a", "va", "na"), Seq("a"))
+      .join(withVec.toDF("b", "vb", "nb"), Seq("b"))
+      .withColumn("cosine", dotUdf(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }

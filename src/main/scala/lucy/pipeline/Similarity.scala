@@ -23,13 +23,22 @@ object Similarity {
   /** Cosine similarity between two float-array columns, computed in
     * doubles, left-to-right — mirrors the SQL oracle's formula.
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Σ aᵢ·bᵢ in doubles (one zip_with + fold per pair). */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+
+  /** √Σ vᵢ² — identical arithmetic to the norm inside cosineCol, so
+    * precomputing it per ROW and dividing dotCol by the product is
+    * bit-identical to cosineCol per PAIR while doing a third of the
+    * array work (the norms don't depend on the pair — recomputing both
+    * per pair was the r3 all-pairs dedup hot spot).
+    */
+  def normCol(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Exact top-k cosine neighbors for each query vector.
     * queries is expected tiny (broadcast); corpus arbitrary.
