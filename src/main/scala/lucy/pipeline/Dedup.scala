@@ -180,19 +180,10 @@ object Dedup {
       .select(col("a"), col("b"), col("est_jaccard"))
   }
 
-  /** Tight-loop dot product over float vectors. Value is BIT-IDENTICAL
-    * to Similarity.dotCol (same left-to-right double fold) — this
-    * exists because higher-order-function Columns evaluate interpreted
-    * (no codegen) with a per-element lambda + a per-pair intermediate
-    * array: at n²/2 pair volume the UDF loop is ~10× cheaper.
+  /** Tight-loop dot (shared with the ANN paths): value BIT-IDENTICAL
+    * to Similarity.dotCol; see Similarity.dotProductUdf for why.
     */
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
+  private def dotUdf = Similarity.dotProductUdf
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT
     * all-pairs variant: the correctness baseline and the DuckDB-oracle

@@ -40,16 +40,35 @@ object Similarity {
   def normCol(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Tight-loop dot product, BIT-IDENTICAL to dotCol (same left-to-
+    * right double fold). Exists because higher-order-function Columns
+    * evaluate interpreted — per-element lambda dispatch plus a per-pair
+    * intermediate array — which at candidate-set volume is ~10× the
+    * cost of this loop. Every ANN/dedup candidate-scoring path uses it;
+    * cosineCol stays as the one-shot Column form (and the statement of
+    * the oracle formula).
+    */
+  private[pipeline] val dotProductUdf =
+    udf((a: Seq[Float], b: Seq[Float]) => {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    })
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries is expected tiny (broadcast); corpus arbitrary.
     */
   def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      normCol(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      normCol(col(vecCol)).as("cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qvec"), col("cvec")))
+      .withColumn("cosine", dotProductUdf(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -225,16 +244,18 @@ object Similarity {
     val probeUdf = udf((v: Seq[Float]) =>
       probeLists(normalize(v.toArray.map(_.toDouble)), centroids, np))
 
-    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      normCol(col(vecCol)).as("cn"))
       .withColumn("listId", assignUdf(col("cvec")))
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        normCol(col(vecCol)).as("qn"))
         .withColumn("listId", explode(probeUdf(col("qvec")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(lists, Seq("listId"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qvec"), col("cvec")))
+      .withColumn("cosine", dotProductUdf(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -262,24 +283,26 @@ object Similarity {
       else lshParamsFor(if (corpusCount >= 0) corpusCount else corpus.count())
     val numBands = np / bb
     val code = lshCodeUdf(np)
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec), code(col(vecCol)).as("code"))
-        .select(col(id), col(vec),
+    def banded(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        normCol(col(vecCol)).as(nrm), code(col(vecCol)).as("code"))
+        .select(col(id), col(vec), col(nrm),
           explode(array((0 until numBands).map(bnd =>
             struct(lit(bnd).as("band"),
               shiftright(col("code"), bnd * bb)
                 .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
-        .select(col(id), col(vec), col("bk.band"), col("bk.bandVal"))
-    val q = broadcast(banded(queries, "query_id", "qvec"))
-    val c = banded(corpus, "neighbor_id", "cvec")
+        .select(col(id), col(vec), col(nrm), col("bk.band"), col("bk.bandVal"))
+    val q = broadcast(banded(queries, "query_id", "qvec", "qn"))
+    val c = banded(corpus, "neighbor_id", "cvec", "cn")
     val cands = q.join(c, Seq("band", "bandVal"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
+      .select(col("query_id"), col("qvec"), col("qn"),
+        col("neighbor_id"), col("cvec"), col("cn"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
-      .withColumn("cosine", cosineCol(col("qvec"), col("cvec")))
+      .withColumn("cosine", dotProductUdf(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
