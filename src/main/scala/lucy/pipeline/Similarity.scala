@@ -233,9 +233,12 @@ object Similarity {
                     iters: Int = 10,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = if (corpusCount >= 0) corpusCount else corpus.count()
+    require(n > 0, "IVF over an empty corpus")
+    // √n cells, floored at 4 for probe selectivity — but never more
+    // cells than vectors (a tiny corpus trains one centroid per vector)
     val nl = if (numLists > 0) numLists
-      else math.max(4, math.min(n, math.round(math.sqrt(n.toDouble)))).toInt
-    val np = if (nprobe > 0) math.min(nprobe, nl) else math.max(2, nl / 4)
+      else math.min(n, math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
+    val np = if (nprobe > 0) math.min(nprobe, nl) else math.min(nl, math.max(2, nl / 4))
     val centroids = trainIvfCentroids(corpus, nl, n, iters = iters,
       idCol = idCol, vecCol = vecCol)
 

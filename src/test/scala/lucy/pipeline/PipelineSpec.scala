@@ -231,6 +231,14 @@ class PipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF ANN: tiny corpora derive numLists <= n (no over-clustering crash)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 3) // 3 vectors < the 4-cell floor
+    val r = Similarity.ivfCosineTopK(emb, emb, k = 2).collect()
+    assert(r.nonEmpty && r.forall(_.getInt(3) <= 2))
+  }
+
   test("embedding-cosine near-dup: LSH variant is a precision-1 subset with recall") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
