@@ -96,6 +96,31 @@ object Dedup {
       .select(col("a"), col("b"), col("shared"), col("jaccard"))
   }
 
+  /** Bucket-cap filter with drop accounting (no-silent-caps, VERDICT r3
+    * next-round #3): keep only rows whose bucket (by `keys`) holds
+    * ≤ cap members; what was dropped — buckets, member rows, and the
+    * candidate-pair upper bound Σ bsz·(bsz−1)/2 — is recorded and
+    * logged via [[CapStats]]. The bucket-size table (one row per
+    * DISTINCT bucket — far smaller than the corpus) is persisted so the
+    * drop count and the semi-join share one aggregation instead of
+    * recomputing the groupBy.
+    */
+  private def coolBuckets(banded: DataFrame, idCol: String, keys: Seq[String],
+                          cap: Long, op: String): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sizes.filter(col("bsz") > cap)
+      .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)),
+        // Column `/` is double division — keep the pair bound integral
+        // by summing bsz·(bsz−1) (always even) and halving driver-side
+        coalesce(sum(col("bsz") * (col("bsz") - 1)), lit(0L)))
+      .collect()(0)
+    CapStats.record(op, hot.getLong(0), hot.getLong(1), hot.getLong(2) / 2)
+    banded.join(sizes.filter(col("bsz") <= cap).select(keys.map(col): _*),
+        keys, "left_semi")
+      .select((idCol +: keys).map(col): _*) // USING join fronts keys — re-fix order
+  }
+
   /** Scale/threshold-aware banding (VERDICT r1): rowsPerBand r (with
     * b = numPerms / r bands) places the LSH S-curve knee (1/b)^(1/r)
     * closest to the target Jaccard threshold — the standard derivation
@@ -161,11 +186,7 @@ object Dedup {
         xxhash64(col("band"),
           slice(col("signature"), col("band") * rpb + 1, lit(rpb))))
       .select(col(idCol), col("bandKey"))
-    val cool = banded.join(
-      banded.groupBy(col("bandKey")).agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBandSize).select("bandKey"),
-      Seq("bandKey"), "left_semi")
-      .select(col(idCol), col("bandKey")) // USING join fronts the key — re-fix order
+    val cool = coolBuckets(banded, idCol, Seq("bandKey"), maxBandSize, "dedup_minhash_lsh")
     val l = cool.toDF("a", "bandKey")
     val r = cool.toDF("b", "bandKey")
     l.join(r, Seq("bandKey"))
@@ -241,11 +262,8 @@ object Dedup {
             shiftright(col("code"), bnd * bb)
               .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bandVal"))
-    val cool = banded.join(
-      banded.groupBy(col("band"), col("bandVal")).agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucketSize).select("band", "bandVal"),
-      Seq("band", "bandVal"), "left_semi")
-      .select(col("id"), col("band"), col("bandVal")) // USING join fronts the keys
+    val cool = coolBuckets(banded, "id", Seq("band", "bandVal"), maxBucketSize,
+      "dedup_embedding_lsh")
     val l = cool.toDF("a", "band", "bandVal")
     val r = cool.toDF("b", "band", "bandVal")
     val withVec = vecs.select(col(idCol), col(vecCol),
@@ -300,11 +318,8 @@ object Dedup {
         struct(lit(i).as("chunkNo"),
           shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
       .select(col(idCol), col("c.chunkNo"), col("c.chunk"))
-    val cool = chunked.join(
-      chunked.groupBy(col("chunkNo"), col("chunk")).agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucketSize).select("chunkNo", "chunk"),
-      Seq("chunkNo", "chunk"), "left_semi")
-      .select(col(idCol), col("chunkNo"), col("chunk")) // USING join fronts the keys
+    val cool = coolBuckets(chunked, idCol, Seq("chunkNo", "chunk"), maxBucketSize,
+      "dedup_simhash")
     val l = cool.toDF("a", "chunkNo", "chunk")
     val r = cool.toDF("b", "chunkNo", "chunk")
     val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
