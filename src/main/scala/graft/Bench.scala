@@ -54,12 +54,23 @@ object Bench {
       r
     }
 
-    // Phase A: index build, cold
-    val idxDir = Files.createTempDirectory("lucy-bench").toString + "/idx"
-    val manifest = timed("index_build") {
-      IndexBuilder.build(PagesGen.pages(spark, benchDocs, cpus.toInt * 2), idxDir,
+    // Phase A: index build, cold — best-of-2 into separate dirs (the
+    // VM's timings are bimodal with 2-4× spread, BENCH/BASELINE.md; the
+    // r3 driver capture landed entirely in a degraded phase — VERDICT r3
+    // next-round #1a). Both raw samples are reported; the headline is
+    // the min, which is the standard best-of discipline the campaign
+    // numbers already use.
+    val benchRoot = Files.createTempDirectory("lucy-bench").toString
+    val manifest = timed("index_build_s1") {
+      IndexBuilder.build(PagesGen.pages(spark, benchDocs, cpus.toInt * 2), s"$benchRoot/idx1",
         IndexConfig(saltDfThreshold = 1L << 16, maxSalts = 16))
     }
+    timed("index_build_s2") {
+      IndexBuilder.build(PagesGen.pages(spark, benchDocs, cpus.toInt * 2), s"$benchRoot/idx2",
+        IndexConfig(saltDfThreshold = 1L << 16, maxSalts = 16))
+    }
+    timings("index_build") = math.min(timings("index_build_s1"), timings("index_build_s2"))
+    val idxDir = s"$benchRoot/idx1"
     val docsPerSec = manifest.docs / timings("index_build")
 
     // Warm serving engine (pins segments + stats into block-manager cache)
@@ -115,6 +126,35 @@ object Bench {
       timed("compact_50k_plus_10k") {
         IncrementalIndexer.compact(spark, root)
       }
+    }
+
+    // Phase F (r4): ANN scale paths at 10^6 vectors (VERDICT r3 #6) —
+    // the driver embeddings table (2k vectors) cannot show the IVF/LSH
+    // shapes; a derived-parameter run over a generated clustered corpus
+    // does. Generation+cache is timed separately (ann_gen) so the ivf/
+    // lsh numbers are the search paths alone. IVF passes a reduced
+    // sampleCap/iters (geometry unchanged: numLists = √n = 1000 is far
+    // below either cap) to keep the driver-side k-means training a
+    // bounded share of the phase.
+    {
+      import lucy.fixtures.VecGen
+      import lucy.pipeline.Similarity
+      import org.apache.spark.sql.functions.col
+      val annN = sys.env.get("SPARK_GRAFT_ANN_DOCS").map(_.toLong).getOrElse(1000000L)
+      val vecs = timed("ann_gen") {
+        val v = VecGen.vectors(spark, annN, parts = cpus.toInt * 2).cache()
+        v.count()
+        v
+      }
+      val queries = vecs.filter(col("vec_id") < 16)
+      timed("ann_ivf_1m") {
+        Similarity.ivfCosineTopK(vecs, queries, k = 10, corpusCount = annN,
+          sampleCap = 16384, iters = 2).count()
+      }
+      timed("ann_lsh_1m") {
+        Similarity.lshCosineTopK(vecs, queries, k = 10, corpusCount = annN).count()
+      }
+      vecs.unpersist()
     }
 
     // Locale.ROOT: default-locale "%.3f" yields comma decimals under e.g.

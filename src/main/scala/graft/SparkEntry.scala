@@ -216,16 +216,15 @@ object SparkEntry {
     */
   private def bm25Query(spark: SparkSession, sfDir: String, q: String,
                         mode: QueryMode.Value, k: Int): DataFrame =
-    bm25QueryOn(spark, Harness.index(spark, sfDir), q, mode, k)
+    present(Harness.engine(spark, sfDir).search(q, mode, k),
+      Harness.docmap(spark, sfDir))
 
-  private def bm25QueryOn(spark: SparkSession, idx: lucy.index.SearchableIndex,
-                          q: String, mode: QueryMode.Value, k: Int): DataFrame = {
-    Searcher.search(spark, idx, q, mode, k)
-      .join(idx.docmap(spark).select(col("docId"), col("url")), Seq("docId"))
+  /** Join-back + oracle presentation shape (doc_id tie-break order). */
+  private def present(res: DataFrame, docmap: DataFrame): DataFrame =
+    res.join(docmap, Seq("docId"))
       .select(col("url").cast("long").as("doc_id"), col("score"),
         col("nTerms").cast("long").as("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
-  }
 
   private def tokensWithDocId(spark: SparkSession, sfDir: String): DataFrame =
     Harness.documents(spark, sfDir)
@@ -306,11 +305,15 @@ object SparkEntry {
     // the oracle on doc_id, so k must land on a tie-free score boundary —
     // verified at sf0.001/0.01/0.1 (25 straddles an exact tie at sf0.001).
     "bm25_after_delete" -> ((s, dir) => {
-      val tombstones = Harness.documents(s, dir)
-        .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
-        .collect().map(r => LucySpec.docIdForUrl(r.getLong(0).toString)).sorted
-      val tidx = lucy.index.TombstonedIndex(Harness.index(s, dir), tombstones)
-      bm25QueryOn(s, tidx, "spark join", QueryMode.And, 24)
+      val eng = Harness.engineFor(s"$dir#after_delete") {
+        val tombstones = Harness.documents(s, dir)
+          .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+          .collect().map(r => LucySpec.docIdForUrl(r.getLong(0).toString)).sorted
+        new lucy.query.QueryEngine(s,
+          lucy.index.TombstonedIndex(Harness.index(s, dir), tombstones))
+      }
+      present(eng.search("spark join", QueryMode.And, 24),
+        Harness.docmap(s, dir))
     }),
 
     // -- index integrity: decoded segments ≡ SQL tf table ----------------

@@ -177,7 +177,12 @@ object Dedup {
     // lands at it — callers get threshold-appropriate banding without
     // knowing the sizing helper exists. Explicit rowsPerBand pins it.
     val rpb = if (rowsPerBand > 0) rowsPerBand else minhashRowsPerBandFor(threshold, numPerms)
+    // the signature pass (tokenize + shingle + numPerms hashes per doc)
+    // feeds banding AND both est_jaccard re-attach joins — persist the
+    // narrow (id, sig) frame so it runs once, not three times (r4; at
+    // corpus scale it is numPerms longs per doc, spillable)
     val sigs = minhashSignatures(docs, n, numPerms, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBands = numPerms / rpb
     val banded = sigs.select(col(idCol),
       posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("bandPos", "band")),
@@ -312,7 +317,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Long = 10000,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "chunk bucketing covers Hamming ≤ 3")
+    // sketch pass feeds chunking AND both Hamming re-attach joins —
+    // persist the narrow (id, simhash) frame so it runs once (r4)
     val withSig = docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = withSig.select(col(idCol),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunkNo"),

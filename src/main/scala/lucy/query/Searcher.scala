@@ -122,6 +122,9 @@ object Searcher {
     */
   val defaultGatherMaxPostings: Long = 1L << 20
 
+  /** Default hard ceiling for tombstone-aware prefix over-expansion. */
+  val defaultExpandCeiling: Int = 1 << 22
+
   private val resultSchema = StructType(Seq(
     StructField("docId", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false),
@@ -149,7 +152,8 @@ object Searcher {
                  blockCache: Option[BlockCache] = None,
                  expand: (String, Int) => Seq[String] = null,
                  tombstones: Array[Long] = Array.empty,
-                 stem: Boolean = LucySpec.stemming): DataFrame = {
+                 stem: Boolean = LucySpec.stemming,
+                 expandCeiling: Int = defaultExpandCeiling): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), resultSchema)
 
@@ -181,14 +185,16 @@ object Searcher {
           // (expansion returned fewer than asked). Each round is one
           // pruned stats scan over ≤cap terms; the loop only engages
           // when tombstones exist AND the cap binds.
-          // Hard ceiling 2^22: guarantees termination and bounds the
-          // driver-side expansion collect (~100 MB of terms) even in the
-          // pathological state where millions of consecutive matching
-          // terms are fully deleted. Beyond it the engine returns the
-          // survivors found so far — compact() (which purges tombstones)
-          // restores exactness; reaching the ceiling at all implies a
-          // store far past its compaction debt.
-          val maxCap = 1 << 22
+          // Hard ceiling (default 2^22): guarantees termination and
+          // bounds the driver-side expansion collect (~100 MB of terms)
+          // even in the pathological state where millions of consecutive
+          // matching terms are fully deleted. Beyond it the engine
+          // returns the survivors found so far — compact() (which purges
+          // tombstones) restores exactness; reaching the ceiling at all
+          // implies a store far past its compaction debt. The parameter
+          // exists so WandEquivalenceSpec can pin the partial-result
+          // behavior without a 4M-term fixture (VERDICT r3 #7).
+          val maxCap = expandCeiling
           var cap = LucySpec.maxPrefixExpand
           var expanded = first
           var stats = lookup(expanded)

@@ -191,6 +191,61 @@ class WandEquivalenceSpec extends SparkFunSuite {
     assertSame(eng.search("zz", QueryMode.Prefix, 150), naive, "prefix+delete (engine, cached)")
   }
 
+  test("prefix over-expansion at the ceiling: survivors-so-far, exact after compact (r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import lucy.stream.IncrementalIndexer
+    // 300 docs, each with a unique zz-prefixed term; deleting the first
+    // 250 urls fully tombstones every term in the first ~250 ascending
+    // expansion slots — the pathological fully-deleted run. With the
+    // production ceiling (2^22) the over-expansion loop walks past it
+    // (128 → 256 → 512 ⊇ all 300 matches) and stays exact; with the
+    // ceiling pinned at 256 the loop must STOP and return the survivors
+    // found in the first 256 raw slots only (zz250..zz255).
+    val pages = (0 until 300).map { i =>
+      (s"u$i", new java.sql.Timestamp(i * 1000L), null.asInstanceOf[Array[Byte]],
+        f"zz$i%03d common filler", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    val root = s"$tmp/prefixceil"
+    IncrementalIndexer.bootstrap(pages, root)
+    IncrementalIndexer.deleteUrls(spark, root, (0 until 250).map(i => s"u$i"))
+    val masked = IncrementalIndexer.composite(spark, root)
+
+    val surviving = pages.filter(!col("url").isin((0 until 250).map(i => s"u$i": Any): _*))
+    val cleaned = Ingest.cleanPages(surviving)
+    val (docmap, termTf) = (Ingest.docmap(cleaned), Ingest.termTf(cleaned))
+    val stats = Stats.corpusStats(docmap)
+    val naive = NaiveSearch.prefixSearch(termTf, docmap, stats, "zz", 150)
+    assert(naive.count() === 50, "50 surviving zz docs")
+
+    // default ceiling: over-expansion exhausts the matches → exact
+    assertSame(Searcher.search(spark, masked, "zz", QueryMode.Prefix, 150), naive,
+      "prefix ceiling (default, exact)")
+
+    def searchCeil(idx: SearchableIndex, ceiling: Int) =
+      Searcher.searchWith(spark, idx.segments(spark), "zz", QueryMode.Prefix, 150,
+        idx.corpusStats(spark), terms => idx.lookupTerms(spark, terms),
+        expand = (p, max) => Stats.expandPrefix(idx.termStats(spark), p, max),
+        tombstones = idx.tombstoneIds, expandCeiling = ceiling)
+
+    // ceiling 256: partial result = survivors within the first 256 raw
+    // slots, which score exactly like the OR query over those six terms
+    // (prefix scoring IS disjunctive over the expanded set)
+    val partialOracle = NaiveSearch.search(termTf, docmap, stats,
+      (250 until 256).map(i => f"zz$i%03d").mkString(" "), QueryMode.Or, 150)
+    assert(partialOracle.count() === 6)
+    assertSame(searchCeil(masked, 256), partialOracle,
+      "prefix ceiling (256, survivors-so-far)")
+
+    // compact() purges the tombstones: the raw expansion then returns
+    // only survivors, so even the tiny ceiling is exact again
+    IncrementalIndexer.compact(spark, root)
+    val compacted = IncrementalIndexer.composite(spark, root)
+    assertSame(Searcher.search(spark, compacted, "zz", QueryMode.Prefix, 150), naive,
+      "post-compact (default ceiling)")
+    assertSame(searchCeil(compacted, 256), naive, "post-compact (ceiling 256)")
+  }
+
   test("exact ties break by docId: duplicate documents") {
     import spark.implicits._
     // 40 identical docs + 10 others → guaranteed equal scores
