@@ -47,9 +47,14 @@ object Similarity {
     * cost of this loop. Every ANN/dedup candidate-scoring path uses it;
     * cosineCol stays as the one-shot Column form (and the statement of
     * the oracle formula).
+    *
+    * Array[Float], not Seq[Float] (r4): through the Seq interface every
+    * element access dispatches the GENERIC apply and boxes — measured
+    * ~7× on corpus-wide passes. Spark converts array<float> to a
+    * primitive Array[Float] without boxing.
     */
   private[pipeline] val dotProductUdf =
-    udf((a: Seq[Float], b: Seq[Float]) => {
+    udf((a: Array[Float], b: Array[Float]) => {
       var s = 0.0
       var i = 0
       val n = math.min(a.length, b.length)
@@ -87,20 +92,33 @@ object Similarity {
 
   /** H-bit sign-LSH code of a vector column (UDF: tight loop over
     * 64-float arrays beats a 64×H Column expression tree).
+    *
+    * The hyperplane matrix is MATERIALIZED once per task per dimension
+    * (r4): planeComponent is a two-stage splitmix chain, and deriving it
+    * per (plane, dim) per ROW made the code pass ~20 arithmetic ops per
+    * multiply-add — measured 17–19 s for 1M×64f at 32c with the inline
+    * chain vs ~2 s with the cached matrix. The cache is inside the UDF
+    * closure, so each deserialized task instance builds the H×d doubles
+    * once — trivial against millions of rows.
     */
-  def lshCodeUdf(numPlanes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Float]) => {
+  def lshCodeUdf(numPlanes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val planeCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+    udf((v: Array[Float]) => {
+      val planes = planeCache.computeIfAbsent(v.length,
+        d => Array.tabulate(numPlanes, d)((h, dd) => planeComponent(h, dd)))
       var code = 0L
       var h = 0
       while (h < numPlanes) {
+        val p = planes(h)
         var dot = 0.0
         var d = 0
-        while (d < v.length) { dot += v(d) * planeComponent(h, d); d += 1 }
+        while (d < v.length) { dot += v(d) * p(d); d += 1 }
         if (dot >= 0) code |= (1L << h)
         h += 1
       }
       code
     })
+  }
 
   /** Scale-aware sign-LSH sizing (VERDICT r1; saturation fix r4):
     * bandBits chosen so an AVERAGE band bucket over n corpus rows holds
@@ -193,16 +211,50 @@ object Similarity {
     require(sampled.length >= numLists,
       s"sample ${sampled.length} smaller than numLists=$numLists")
     var centroids = sampled.take(numLists).map(_.clone())
+    val dim = centroids(0).length
+    // Parallel assignment with DETERMINISTIC accumulation (r4): the
+    // sequential O(sample·K·d) loop was the IVF bench floor (~5 s of a
+    // 7 s phase at 16384×1000×64×2 iters on one core). Chunks are fixed
+    // index ranges and partials merge in ascending chunk order, so the
+    // summation order — hence every centroid bit — is a pure function of
+    // the sample, never of thread timing.
+    val chunk = 2048
+    val nChunks = (sampled.length + chunk - 1) / chunk
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(numLists)(new Array[Double](centroids(0).length))
+      val partials = new Array[(Array[Array[Double]], Array[Int])](nChunks)
+      val cents = centroids
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val sums = Array.fill(numLists)(new Array[Double](dim))
+        val counts = new Array[Int](numLists)
+        var i = ci * chunk
+        val end = math.min(i + chunk, sampled.length)
+        while (i < end) {
+          val v = sampled(i)
+          val li = nearestList(v, cents)
+          val s = sums(li)
+          var d = 0
+          while (d < dim) { s(d) += v(d); d += 1 }
+          counts(li) += 1
+          i += 1
+        }
+        partials(ci) = (sums, counts)
+      }
+      val sums = Array.fill(numLists)(new Array[Double](dim))
       val counts = new Array[Int](numLists)
-      sampled.foreach { v =>
-        val li = nearestList(v, centroids)
-        val s = sums(li)
-        var d = 0
-        while (d < v.length) { s(d) += v(d); d += 1 }
-        counts(li) += 1
+      var ci = 0
+      while (ci < nChunks) {
+        val (ps, pc) = partials(ci)
+        var li = 0
+        while (li < numLists) {
+          val s = sums(li)
+          val p = ps(li)
+          var d = 0
+          while (d < dim) { s(d) += p(d); d += 1 }
+          counts(li) += pc(li)
+          li += 1
+        }
+        ci += 1
       }
       var li = 0
       while (li < numLists) {
@@ -283,9 +335,9 @@ object Similarity {
     val centroids = trainIvfCentroids(corpus, nl, n, sampleCap = sampleCap,
       iters = iters, idCol = idCol, vecCol = vecCol)
 
-    val assignUdf = udf((v: Seq[Float]) =>
+    val assignUdf = udf((v: Array[Float]) =>
       nearestList(normalize(v.toArray.map(_.toDouble)), centroids))
-    val probeUdf = udf((v: Seq[Float]) =>
+    val probeUdf = udf((v: Array[Float]) =>
       probeLists(normalize(v.toArray.map(_.toDouble)), centroids, np))
 
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
@@ -327,25 +379,38 @@ object Similarity {
       else lshParamsFor(if (corpusCount >= 0) corpusCount else corpus.count())
     val numBands = np / bb
     val code = lshCodeUdf(np)
-    def banded(df: DataFrame, id: String, vec: String, nrm: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        normCol(col(vecCol)).as(nrm), code(col(vecCol)).as("code"))
-        .select(col(id), col(vec), col(nrm),
+    // banding carries IDS ONLY (r4): exploding numBands rows per doc
+    // with the vector attached materialized numBands copies of every
+    // embedding through the join — at 10^6×64f that is the whole corpus
+    // ×4 in flight. Vectors are re-attached to the (small) deduplicated
+    // candidate set afterwards, the same shape embeddingCosinePairsLsh
+    // uses. Measured at 1M vectors/32c: 18.0 s → re-attach shape below.
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), code(col(vecCol)).as("code"))
+        .select(col(id),
           explode(array((0 until numBands).map(bnd =>
             struct(lit(bnd).as("band"),
               shiftright(col("code"), bnd * bb)
                 .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
-        .select(col(id), col(vec), col(nrm), col("bk.band"), col("bk.bandVal"))
-    val q = broadcast(banded(queries, "query_id", "qvec", "qn"))
-    val c = banded(corpus, "neighbor_id", "cvec", "cn")
-    val cands = q.join(c, Seq("band", "bandVal"))
+        .select(col(id), col("bk.band"), col("bk.bandVal"))
+    val qb = broadcast(banded(queries, "query_id"))
+    val cands = qb.join(banded(corpus, "neighbor_id"), Seq("band", "bandVal"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qvec"), col("qn"),
-        col("neighbor_id"), col("cvec"), col("cn"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    // re-attach: query side (tiny) broadcast WITH the candidate list, so
+    // the corpus-side vector lookup streams the corpus once against a
+    // broadcast hash — no corpus shuffle. Candidate volume is bounded by
+    // queries × numBands × bucket size (lshParamsFor keeps buckets near
+    // targetBucket), so the broadcast stays small even at corpus scale.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      normCol(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      normCol(col(vecCol)).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands
+    broadcast(cands.join(q, Seq("query_id")))
+      .join(c, Seq("neighbor_id"))
       .withColumn("cosine", dotProductUdf(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
