@@ -102,8 +102,13 @@ object Bench {
     pool.shutdown()
     val concQps = (QuerySet.reference.size * passes) / timings("queries_concurrent")
 
+    // Phase gating for scaling campaigns (r4): A/B/C always run (they
+    // carry the headline metrics); D/E/F are skippable so a 2-core
+    // scaling rep doesn't pay the full operator sweep. Default = all.
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "ABCDEF")
+
     // Phase D: harness operator sweep over the driver tables
-    timed("harness_total") {
+    if (phases.contains('D')) timed("harness_total") {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         timed(s"h_$name") {
           try fn(spark, sfDir).count()
@@ -116,7 +121,7 @@ object Bench {
     // into a new generation (the merge now SLICES position streams
     // through instead of decode/re-encode; VERDICT r2 #5). Fixed sizes
     // so the number is comparable across rounds.
-    {
+    if (phases.contains('E')) {
       import lucy.stream.IncrementalIndexer
       val root = Files.createTempDirectory("lucy-bench-store").toString + "/store"
       IncrementalIndexer.bootstrap(PagesGen.pages(spark, 50000, cpus.toInt), root)
@@ -136,7 +141,7 @@ object Bench {
     // sampleCap/iters (geometry unchanged: numLists = √n = 1000 is far
     // below either cap) to keep the driver-side k-means training a
     // bounded share of the phase.
-    {
+    if (phases.contains('F')) {
       import lucy.fixtures.VecGen
       import lucy.pipeline.Similarity
       import org.apache.spark.sql.functions.col
@@ -162,7 +167,7 @@ object Bench {
     def num(fmt: String, v: Double): Double =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v)).toDouble
     val total = timings("index_build") + timings("queries_sequential") +
-      timings("queries_concurrent") + timings("harness_total")
+      timings("queries_concurrent") + timings.getOrElse("harness_total", 0.0)
     val qs = timings.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +

@@ -160,6 +160,15 @@ object SparkEntry {
     * Scala and Python implementations agree or the row fails.
     */
   private val hashCsvPath = "/root/repo/tools/expected/hash_expectations.csv"
+  private val annLshCsvPath = "/root/repo/tools/expected/ann_lsh_expectations.csv"
+  private val embLshCsvPath = "/root/repo/tools/expected/embedding_lsh_pairs.csv"
+
+  /** Corpus-independent vector identity: md5 of the '%.9e' element
+    * serialization (deterministic correctly-rounded formatting in both
+    * DuckDB's printf and Python's %-formatting).
+    */
+  private val vecKeySql =
+    "md5(array_to_string(list_transform(embedding, x -> printf('%.9e', x::DOUBLE)), ','))"
 
   /** CTE pair: `exp` = typed CSV read, `s` = per-doc expected hashes. */
   private def hashExpCte: String = {
@@ -746,11 +755,32 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracleSql(rowsPerBand = 4),
-    "dedup_minhash_derived" -> minhashOracleSql(rowsPerBand = 2)
-    // ann_lsh_cosine, ann_ivf_cosine, dedup_embedding_lsh: still
-    // rows-only — their pair sets depend on float geometry (random
-    // hyperplanes / k-means cells), not just hashes; precision-1 and
-    // recall properties live in PipelineSpec (contract in the stub
-    // header permits the omission).
+    "dedup_minhash_derived" -> minhashOracleSql(rowsPerBand = 2),
+
+    // ---- sign-LSH float-geometry oracles (r4) ---------------------------
+    // tools/ann_expectations.py replicates the frozen splitmix
+    // hyperplanes, derived band sizing, and left-fold cosine arithmetic
+    // in Python (IEEE doubles, same operation order) and emits rows
+    // keyed by md5 of the '%.9e' vector serialization — one CSV covers
+    // every SF corpus (keys disjoint across corpora). Only ann_ivf
+    // stays rows-only (replicating the k-means training loop would
+    // re-state the implementation rather than independently derive it).
+    "ann_lsh_cosine" ->
+      s"""WITH emb AS (SELECT vec_id, $vecKeySql AS vkey FROM embeddings),
+         |e AS (SELECT * FROM read_csv('$annLshCsvPath', header=true,
+         |  columns={'qkey': 'VARCHAR', 'nkey': 'VARCHAR', 'cosine': 'DOUBLE', 'rank': 'BIGINT'}))
+         |SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id, e.cosine, e.rank
+         |FROM e JOIN emb q ON e.qkey = q.vkey JOIN emb nb ON e.nkey = nb.vkey
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, $vecKeySql AS vkey FROM embeddings),
+         |e AS (SELECT * FROM read_csv('$embLshCsvPath', header=true,
+         |  columns={'akey': 'VARCHAR', 'bkey': 'VARCHAR', 'cosine': 'DOUBLE'}))
+         |SELECT a.vec_id AS a, b.vec_id AS b, e.cosine
+         |FROM e JOIN emb a ON e.akey = a.vkey JOIN emb b ON e.bkey = b.vkey
+         |ORDER BY a, b""".stripMargin
+    // ann_ivf_cosine: rows-only — precision-1/recall/determinism
+    // properties live in PipelineSpec (contract permits the omission).
   )
 }
