@@ -161,6 +161,7 @@ object SparkEntry {
     */
   private val hashCsvPath = "/root/repo/tools/expected/hash_expectations.csv"
   private val annLshCsvPath = "/root/repo/tools/expected/ann_lsh_expectations.csv"
+  private val annIvfCsvPath = "/root/repo/tools/expected/ann_ivf_expectations.csv"
   private val embLshCsvPath = "/root/repo/tools/expected/embedding_lsh_pairs.csv"
 
   /** Corpus-independent vector identity: md5 of the '%.9e' element
@@ -762,9 +763,7 @@ object SparkEntry {
     // hyperplanes, derived band sizing, and left-fold cosine arithmetic
     // in Python (IEEE doubles, same operation order) and emits rows
     // keyed by md5 of the '%.9e' vector serialization — one CSV covers
-    // every SF corpus (keys disjoint across corpora). Only ann_ivf
-    // stays rows-only (replicating the k-means training loop would
-    // re-state the implementation rather than independently derive it).
+    // every SF corpus (keys disjoint across corpora).
     "ann_lsh_cosine" ->
       s"""WITH emb AS (SELECT vec_id, $vecKeySql AS vkey FROM embeddings),
          |e AS (SELECT * FROM read_csv('$annLshCsvPath', header=true,
@@ -779,8 +778,19 @@ object SparkEntry {
          |  columns={'akey': 'VARCHAR', 'bkey': 'VARCHAR', 'cosine': 'DOUBLE'}))
          |SELECT a.vec_id AS a, b.vec_id AS b, e.cosine
          |FROM e JOIN emb a ON e.akey = a.vkey JOIN emb b ON e.bkey = b.vkey
-         |ORDER BY a, b""".stripMargin
-    // ann_ivf_cosine: rows-only — precision-1/recall/determinism
-    // properties live in PipelineSpec (contract permits the omission).
+         |ORDER BY a, b""".stripMargin,
+
+    // IVF: the training algorithm is SPECIFIED (SURVEY §8.9) —
+    // hash-selected sample, first-K init, fixed iters, chunked
+    // deterministic sums, lowest-id ties — so tools/ivf_expectations.py
+    // derives the same algorithm independently in Python. With this,
+    // EVERY harness entry has a hard oracle row.
+    "ann_ivf_cosine" ->
+      s"""WITH emb AS (SELECT vec_id, $vecKeySql AS vkey FROM embeddings),
+         |e AS (SELECT * FROM read_csv('$annIvfCsvPath', header=true,
+         |  columns={'qkey': 'VARCHAR', 'nkey': 'VARCHAR', 'cosine': 'DOUBLE', 'rank': 'BIGINT'}))
+         |SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id, e.cosine, e.rank
+         |FROM e JOIN emb q ON e.qkey = q.vkey JOIN emb nb ON e.nkey = nb.vkey
+         |ORDER BY query_id, rank""".stripMargin
   )
 }
