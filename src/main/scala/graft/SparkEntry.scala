@@ -370,6 +370,49 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // J6 (r4) — backward as-of join: every event gets the latest
+    // purchase at-or-before it for the same user. Union + one keyed
+    // window — never a range join. Right side unique per (user, ts) by
+    // max_by construction; inner-as-of output (no null floats in the
+    // compare).
+    "events_asof" -> ((s, dir) => {
+      val ev = Harness.events(s, dir)
+      val refs = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("amount"))
+      lucy.pipeline.Relational.asofJoin(ev, refs, "user_id", "ts")
+        .select(col("event_id"), col("ref_ts"), col("ref_amount"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ST5 (r4) — gap-based sessionization via the native session_window
+    // (same operator Structured Streaming uses; see IncrementalSpec for
+    // the streaming shape).
+    "events_sessionize" -> ((s, dir) =>
+      lucy.pipeline.Relational.sessionize(Harness.events(s, dir), "30 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 6).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // F9 (r4) — map/array utils: per-doc top-3 term vector built from
+    // sorted struct arrays, re-read through a MapType lookup
+    // (array_sort / transform / slice / map_from_entries / element_at).
+    "term_vectors" -> ((s, dir) => {
+      val tf = tokensWithDocId(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct((col("tf") * -1).as("neg"),
+          col("term").as("term"), col("tf").as("tf")))).as("entries"))
+        .withColumn("tfmap", map_from_entries(
+          transform(col("entries"), e => struct(e("term"), e("tf")))))
+        .withColumn("top", slice(transform(col("entries"), e => e("term")), 1, 3))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "term")),
+          col("tfmap"))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("term"), element_at(col("tfmap"), col("term")).as("tf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // A9 — cube over corpus dimensions (index metrics rollup)
     "cube_lang_source" -> ((s, dir) =>
       Harness.documents(s, dir)
@@ -569,6 +612,41 @@ object SparkEntry {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_asof" ->
+      """WITH refs AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS amount
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, r.ts AS ref_ts, r.amount AS ref_amount
+        |FROM events e ASOF JOIN refs r ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // session_window semantics: events merge while the gap stays UNDER
+    // 30 min (diff >= gap starts a new session); window end = last
+    // event + gap. Stated as lag/flag/cumsum in SQL.
+    "events_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "term_vectors" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |r AS (SELECT doc_id, term, tf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rank
+         |  FROM tf)
+         |SELECT doc_id, rank::BIGINT AS rank, term, tf::BIGINT AS tf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "cube_lang_source" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

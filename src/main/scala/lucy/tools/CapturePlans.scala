@@ -119,6 +119,25 @@ object CapturePlans {
       index2.corpusStats(spark), ts => Stats.lookupTerms(index2.termStats(spark), ts))
     sb.append("\n=====PLAN2b: bucket exchange at bench scale (270k docs, and_head5x, natural routing)\n")
     sb.append(planOf(p2b))
+
+    // PLAN5/6 (r4): the ANN scale paths over a generated vector corpus.
+    // What to read for: the corpus side NEVER appears below an
+    // Exchange — LSH joins corpus bands against a BroadcastExchange of
+    // query bands, then re-attaches vectors via a second broadcast of
+    // the candidate set; IVF joins the corpus's narrow assignment map
+    // against a BroadcastExchange of (query × nprobe) probe rows. The
+    // only Exchanges are on the candidate/result side (distinct + window
+    // rank over candidates), whose volume is bounded by bucket/cell
+    // sizing, not corpus size.
+    val vecs = lucy.fixtures.VecGen.vectors(spark, 20000, parts = 8)
+    val vq = vecs.filter(col("vec_id") < 4)
+    val p5 = lucy.pipeline.Similarity.lshCosineTopK(vecs, vq, k = 5, corpusCount = 20000)
+    sb.append("\n=====PLAN5: sign-LSH ANN (bands broadcast, ids-only candidates, corpus unshuffled)\n")
+    sb.append(planOf(p5))
+    val p6 = lucy.pipeline.Similarity.ivfCosineTopK(vecs, vq, k = 5, corpusCount = 20000,
+      sampleCap = 4096, iters = 2)
+    sb.append("\n=====PLAN6: IVF ANN (broadcast probe join onto narrow assignment map)\n")
+    sb.append(planOf(p6))
     sb.append("```\n")
 
     Files.writeString(Paths.get(out), sb.toString)

@@ -264,6 +264,24 @@ class PipelineSpec extends SparkFunSuite {
     assert(Similarity.ivfParamsFor(1000000L, sampleCap = 256)._1 === 256)
   }
 
+  test("as-of join: backward semantics, equal-ts boundary, latest-wins (r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq((1, t(100), "e1"), (1, t(200), "e2"), (1, t(50), "e0"),
+      (2, t(100), "e3"), (3, t(100), "e4"))
+      .toDF("k", "ts", "eid")
+    val right = Seq((1, t(100), 10.0), (1, t(150), 20.0), (2, t(101), 5.0))
+      .toDF("k", "ts", "amount")
+    val got = Relational.asofJoin(left, right, "k", "ts")
+      .select(col("eid"), col("ref_ts"), col("ref_amount"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getDouble(2))).toSet
+    // e1: equal-ts reference INCLUDED (>= boundary); e2: latest of two
+    // wins; e0: no reference at-or-before -> dropped (inner as-of);
+    // e3: right ts 101 > 100 -> dropped; e4: key with no right rows.
+    assert(got === Set(("e1", 100L, 10.0), ("e2", 150L, 20.0)))
+  }
+
   test("hot-bucket caps are accounted, never silent (CapStats, r4)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // cap high enough not to engage: zero drops recorded, full pair set

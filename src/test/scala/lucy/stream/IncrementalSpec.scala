@@ -95,6 +95,44 @@ class IncrementalSpec extends SparkFunSuite {
     assert(perWindow.values.toSet === Set(60L))
   }
 
+  test("ST5: streaming session windows close on watermark == batch sessionize (r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(Int, Long)](spark)
+    val ev = stream.toDS().toDF("user_id", "off")
+      .select(col("user_id"), timestamp_seconds(col("off")).as("ts"), lit(2.5).as("value"))
+    val q = ev.withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      // user 1: two events 10 s apart (one session), one isolated event;
+      // user 2: one event. Then a far-future event closes everything.
+      stream.addData((1, 0L), (1, 10L), (1, 100L), (2, 5L))
+      q.processAllAvailable()
+      stream.addData((1, 10000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      """select user_id, unix_seconds(session_window.start) as s,
+        |unix_seconds(session_window.end) as e, n_events, total_value
+        |from sessions""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // session end = last event + gap (Spark session-window semantics)
+    assert(got === Set((1, 0L, 40L, 2L, 5.0), (1, 100L, 130L, 1L, 2.5), (2, 5L, 35L, 1L, 2.5)))
+
+    // batch twin through the SAME operator surface: Relational.sessionize
+    // over the equivalent static frame (closed sessions only)
+    val static = Seq((1, 0L), (1, 10L), (1, 100L), (2, 5L))
+      .toDF("user_id", "off")
+      .select(col("user_id"), timestamp_seconds(col("off")).as("ts"), lit(2.5).as("value"))
+    val batch = lucy.pipeline.Relational.sessionize(static, "30 seconds")
+      .select(col("user_id"), unix_seconds(col("session_start")),
+        unix_seconds(col("session_end")), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(batch === got, "streaming closed sessions must equal the batch operator")
+  }
+
   test("recrawled urls: compaction keeps the latest version") {
     import spark.implicits._
     val root = s"$tmp/recrawl"
