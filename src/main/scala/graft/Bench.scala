@@ -159,6 +159,12 @@ object Bench {
       timed("ann_lsh_1m") {
         Similarity.lshCosineTopK(vecs, queries, k = 10, corpusCount = annN).count()
       }
+      // two-level quantizer (r4): k1=k2=n^(1/4) → same √n cell count as
+      // the flat path at (k1+k2)·d assignment cost — the 10^12 shape
+      timed("ann_ivf2_1m") {
+        Similarity.ivfTwoLevelTopK(vecs, queries, k = 10, corpusCount = annN,
+          sampleCap = 16384, iters = 2).count()
+      }
       vecs.unpersist()
     }
 

@@ -65,7 +65,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the shingle pass (tokenize + sliding windows per doc) feeds sizes,
+    // df, the rare semi-join AND the hot-set build — persist so it runs
+    // once, not four times (r4; narrow (id, shingle) rows, spillable)
     val sh = shingles(docs, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
     val rare = sh.join(sdf.filter(col("sdf") <= maxShingleDf).select("shingle"),

@@ -282,6 +282,64 @@ class PipelineSpec extends SparkFunSuite {
     assert(got === Set(("e1", 100L, 10.0), ("e2", 150L, 20.0)))
   }
 
+  test("two-level IVF: full probe == brute force; derived 10^12 geometry bounded (r4)") {
+    import org.apache.spark.sql.functions.col
+    // geometry: k1·k2 ≈ √n cells, (k1+k2)·d assignment flops per row
+    assert(Similarity.ivfTwoLevelParamsFor(1000000000000L) === (1000, 1000, 250, 250))
+    assert(Similarity.ivfTwoLevelParamsFor(300000000000000L)._1 === 4096) // level cap
+    assert(Similarity.ivfTwoLevelParamsFor(500L) === (5, 5, 2, 2))
+
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cells partition the corpus, so probing EVERY cell recovers brute
+    // force exactly — cosines bit-equal (same kernel)
+    val brute = rows(Similarity.bruteCosineTopK(emb, queries, k = 5))
+    val full = rows(Similarity.ivfTwoLevelTopK(emb, queries, k = 5,
+      probe1 = Int.MaxValue, probe2 = Int.MaxValue, corpusCount = 500L))
+    assert(full === brute, "full-probe two-level IVF must equal brute force")
+    // derived probes: deterministic, precision-1 subset with usable recall
+    def run() = rows(Similarity.ivfTwoLevelTopK(emb, queries, k = 5, corpusCount = 500L))
+    val got = run()
+    assert(got === run(), "two-level IVF must be run-deterministic")
+    val bruteMap = brute.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, nb, c) =>
+      bruteMap.get((q, nb)).foreach(exact => assert(math.abs(c - exact) < 1e-12)) }
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gotTop = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recalls = bruteTop.map { case (q, top) =>
+      gotTop.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size }
+    assert(recalls.sum / recalls.size > 0.1,
+      s"mean two-level recall ${recalls.sum / recalls.size}")
+  }
+
+  test("as-of join property: equals the quadratic definition on a generated stream (r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import lucy.LucySpec
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // deterministic pseudo-random streams over 7 keys with many ts
+    // collisions between left and right (the >= boundary is the bug
+    // surface); right unique per (key, ts) by construction
+    val left = (0 until 500).map { i =>
+      (math.abs(LucySpec.rnd(i, 1)).toInt % 7, t(math.abs(LucySpec.rnd(i, 2)) % 300), i)
+    }.toSeq
+    val right = (0 until 120).map { j =>
+      (math.abs(LucySpec.rnd(j, 3)).toInt % 7, t(math.abs(LucySpec.rnd(j, 4)) % 300), j.toDouble)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+    val got = Relational.asofJoin(left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "amount"), "k", "ts")
+      .select(col("lid"), col("ref_ts"), col("ref_amount"))
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    // quadratic definition: latest right at-or-before, ties impossible
+    val expected = left.flatMap { case (k, ts, lid) =>
+      val cands = right.filter(r => r._1 == k && !r._2.after(ts))
+      if (cands.isEmpty) None
+      else Some((lid, cands.maxBy(_._2.getTime)._2, cands.maxBy(_._2.getTime)._3))
+    }.toSet
+    assert(expected.nonEmpty && got === expected)
+  }
+
   test("hot-bucket caps are accounted, never silent (CapStats, r4)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // cap high enough not to engage: zero drops recorded, full pair set

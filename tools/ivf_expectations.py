@@ -132,3 +132,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---- two-level IVF (r4): shared residual codebook, cell = c1*k2 + c2 ----
+
+def ivf2_params_for(n):
+    q = max(2, math.ceil(n ** 0.25))
+    k = min(4096, min(n, q))
+    p = min(k, max(2, k // 4))
+    return k, k, p, p
+
+
+def probe_lists(v, centroids, nprobe):
+    dots = sorted(((-dot_of(v, c), li) for li, c in enumerate(centroids)))
+    return [li for _, li in dots[:nprobe]]
+
+
+def subtract(a, b):
+    return [a[i] - b[i] for i in range(len(a))]
+
+
+def two_level(sfdirs, outpath):
+    rows = []
+    for d in sfdirs:
+        vecs = load(d)
+        n = len(vecs)
+        k1, k2, p1, p2 = ivf2_params_for(n)
+        modulus = max(1, n // 65536)
+        sampled = [normalize(v) for vid, v in sorted(vecs)
+                   if spark_xxhash64_long(vid) % modulus == 0][:65536]
+        coarse = train(sampled, k1)
+        residuals = [normalize(subtract(v, coarse[nearest(v, coarse)])) for v in sampled]
+        rescode = train(residuals, k2)
+        byid = dict(vecs)
+        norms = {vid: norm_of(v) for vid, v in vecs}
+        keys = {vid: vkey(v) for vid, v in vecs}
+        cells = {}
+        for vid, v in vecs:
+            q = normalize(v)
+            ci = nearest(q, coarse)
+            cell = ci * k2 + nearest(normalize(subtract(q, coarse[ci])), rescode)
+            cells.setdefault(cell, []).append(vid)
+        for qid in sorted(vid for vid, _ in vecs if vid < 10):
+            q = normalize(byid[qid])
+            cands = set()
+            for ci in probe_lists(q, coarse, p1):
+                r = normalize(subtract(q, coarse[ci]))
+                for cj in probe_lists(r, rescode, p2):
+                    cands.update(cells.get(ci * k2 + cj, ()))
+            cands.discard(qid)
+            scored = sorted(
+                ((dot_of(byid[qid], byid[c]) / (norms[qid] * norms[c]), c)
+                 for c in cands),
+                key=lambda t: (-t[0], t[1]))
+            for rank, (cos, c) in enumerate(scored[:5], start=1):
+                rows.append((keys[qid], keys[c], repr(cos), rank))
+        print(f"{d}: n={n} two-level k={k1}x{k2} probes={p1}x{p2}")
+    with open(outpath, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["qkey", "nkey", "cosine", "rank"])
+        w.writerows(rows)
+    print(f"wrote {len(rows)} ivf2 rows")
