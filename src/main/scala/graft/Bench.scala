@@ -117,6 +117,12 @@ object Bench {
       }
     }
 
+    // No-silent-caps evidence in the acceptance record (r4): every
+    // capped operator that ran in phase D reports its drop accounting.
+    val capDrops = lucy.pipeline.CapStats.all.map { d =>
+      s""""drops_${d.op}":${d.droppedBuckets}"""
+    }.mkString(",")
+
     // Phase E (r3): compaction wall-time — base 50k + delta 10k folded
     // into a new generation (the merge now SLICES position streams
     // through instead of decode/re-encode; VERDICT r2 #5). Fixed sizes
@@ -176,8 +182,9 @@ object Bench {
       timings("queries_concurrent") + timings.getOrElse("harness_total", 0.0)
     val qs = timings.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }
       .mkString("{", ",", "}")
+    val capField = if (capDrops.isEmpty) "" else s""""cap_drops":{$capDrops},"""
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
+      s""""queries":$qs,$capField"sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
       s""""postings":${manifest.postings},"docs_per_sec":${num("%.1f", docsPerSec)},""" +
       s""""qps_sequential":${num("%.2f", seqQps)},""" +
       s""""qps_concurrent":${num("%.2f", concQps)}}""")

@@ -467,7 +467,7 @@ object SparkEntry {
     // drop-count from CapStats in the driver log while this entry runs.
     "dedup_simhash_capped" -> ((s, dir) =>
       Dedup.simhashPairs(Harness.documents(s, dir), maxHamming = 3,
-        maxBucketSize = cappedChunkBucket)
+        maxBucketSize = cappedChunkBucket, opLabel = "dedup_simhash_capped")
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a"), col("b"))),
 

@@ -36,5 +36,8 @@ object CapStats {
   /** Most recent drop record for an operator, if it has run. */
   def last(op: String): Option[Drop] = lastByOp.get(op)
 
+  /** All recorded operators, name-ordered (bench reporting). */
+  def all: Seq[Drop] = lastByOp.values.toSeq.sortBy(_.op)
+
   def clear(): Unit = lastByOp.clear()
 }

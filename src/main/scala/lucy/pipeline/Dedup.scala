@@ -319,7 +319,8 @@ object Dedup {
     * pair distinct.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Long = 10000,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   opLabel: String = "dedup_simhash"): DataFrame = {
     require(maxHamming <= 3, "chunk bucketing covers Hamming ≤ 3")
     // sketch pass feeds chunking AND both Hamming re-attach joins —
     // persist the narrow (id, simhash) frame so it runs once (r4)
@@ -331,7 +332,7 @@ object Dedup {
           shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
       .select(col(idCol), col("c.chunkNo"), col("c.chunk"))
     val cool = coolBuckets(chunked, idCol, Seq("chunkNo", "chunk"), maxBucketSize,
-      "dedup_simhash")
+      opLabel)
     val l = cool.toDF("a", "chunkNo", "chunk")
     val r = cool.toDF("b", "chunkNo", "chunk")
     val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
