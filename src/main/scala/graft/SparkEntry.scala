@@ -386,6 +386,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // J6 (r4) — bounded interval join: clicks within the hour before
+    // each purchase, via the time-bucketized equi-join (never a raw
+    // theta join).
+    "events_interval" -> ((s, dir) => {
+      val ev = Harness.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      lucy.pipeline.Relational.intervalJoin(purchases, clicks, "user_id", "ts", 3600L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("__rval.value")), 6).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ST5 (r4) — gap-based sessionization via the native session_window
     // (same operator Structured Streaming uses; see IncrementalSpec for
     // the streaming shape).
@@ -631,6 +646,15 @@ object SparkEntry {
         |SELECT e.event_id, r.ts AS ref_ts, r.amount AS ref_amount
         |FROM events e ASOF JOIN refs r ON e.user_id = r.user_id AND e.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "events_interval" ->
+      """SELECT p.event_id, count(*)::BIGINT AS n_clicks,
+        |  round(sum(c.value), 6) AS click_value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |  AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     // session_window semantics: events merge while the gap stays UNDER
     // 30 min (diff >= gap starts a new session); window end = last

@@ -57,6 +57,35 @@ object Relational {
       .drop("__tag")
   }
 
+  /** Bounded interval join: pairs (left, right) with the same key and
+    * `right.ts ∈ [left.ts − window, left.ts]`. The scale shape is a
+    * time-BUCKETIZED equi-join — both sides keyed by (key, bucket)
+    * where bucket = floor(epoch / window), the left side exploded to
+    * its bucket and the previous one (an interval of length `window`
+    * spans at most two buckets), then the exact range filter. Fan-out
+    * is 2× the left side plus per-bucket density — never the quadratic
+    * candidate set of a raw theta join, and Catalyst runs it as a hash
+    * join on (key, bucket).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   windowSeconds: Long = 3600L): DataFrame = {
+    require(windowSeconds > 0, "interval window must be positive")
+    val us = windowSeconds * 1000000L
+    // NTZ-tolerant epoch micros: differences are timezone-invariant, so
+    // the LTZ cast is safe for bucket/range arithmetic on either type
+    def micros(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val l = left.withColumn("__b0", floor(micros(col(ts)) / us))
+      .withColumn("__bucket", explode(array(col("__b0") - 1, col("__b0"))))
+      .drop("__b0")
+    val r = right.select(col(key), col(ts).as("__rts"),
+      struct(right.columns.filterNot(c => c == key || c == ts).map(col): _*).as("__rval"))
+      .withColumn("__bucket", floor(micros(col("__rts")) / us))
+    l.join(r, Seq(key, "__bucket"))
+      .filter(col("__rts") <= col(ts) &&
+        micros(col("__rts")) >= micros(col(ts)) - us)
+      .drop("__bucket")
+  }
+
   /** Gap-based sessionization via the built-in `session_window`: events
     * of one key belong to the same session while consecutive gaps stay
     * UNDER `gap`; the window end extends `gap` past the last event

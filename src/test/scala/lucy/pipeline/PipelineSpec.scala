@@ -340,6 +340,31 @@ class PipelineSpec extends SparkFunSuite {
     assert(expected.nonEmpty && got === expected)
   }
 
+  test("interval join property: equals the quadratic definition, boundaries inclusive (r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import lucy.LucySpec
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // window 60 s; ts values dense enough that buckets and boundaries
+    // (exactly ts and exactly ts-60) are both exercised
+    val left = (0 until 300).map { i =>
+      (math.abs(LucySpec.rnd(i, 11)).toInt % 5, t(math.abs(LucySpec.rnd(i, 12)) % 500), i)
+    }
+    val right = (0 until 300).map { j =>
+      (math.abs(LucySpec.rnd(j, 13)).toInt % 5, t(math.abs(LucySpec.rnd(j, 14)) % 500), j + 1000)
+    }
+    val got = Relational.intervalJoin(
+      left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "rid"), "k", "ts", 60L)
+      .select(col("lid"), col("__rval.rid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val expected = (for {
+      (lk, lts, lid) <- left
+      (rk, rts, rid) <- right
+      if lk == rk && !rts.after(lts) && rts.getTime >= lts.getTime - 60000L
+    } yield (lid, rid)).toSet
+    assert(expected.nonEmpty && got === expected)
+  }
+
   test("hot-bucket caps are accounted, never silent (CapStats, r4)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // cap high enough not to engage: zero drops recorded, full pair set
