@@ -73,6 +73,24 @@ object Harness {
   def engine(spark: SparkSession, sfDir: String): lucy.query.QueryEngine =
     engineFor(sfDir)(new lucy.query.QueryEngine(spark, index(spark, sfDir)).warm())
 
+  /** Shared sketch frames per sfDir (r4): the 3-gram shingle pass feeds
+    * both ngram entries and the minhash signature pass feeds both
+    * banding entries — computing each once is the same amortization a
+    * real pipeline does when running several dedup configs over one
+    * corpus.
+    */
+  private val sketches = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  def shingles3(spark: SparkSession, sfDir: String): DataFrame =
+    sketches.getOrElseUpdate(("sh3", sfDir),
+      lucy.pipeline.Dedup.shingles(documents(spark, sfDir), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def minhashSigs16(spark: SparkSession, sfDir: String): DataFrame =
+    sketches.getOrElseUpdate(("mh16", sfDir),
+      lucy.pipeline.Dedup.minhashSignatures(documents(spark, sfDir), 3, 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** docmap projected to (docId, url), pinned — the per-entry join-back
     * side for every bm25 harness entry.
     */

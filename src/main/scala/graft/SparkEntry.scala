@@ -443,7 +443,8 @@ object SparkEntry {
       Dedup.exact(Harness.documents(s, dir)).orderBy(col("doc_id"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5,
+        precomputedShingles = Some(Harness.shingles3(s, dir)))
         .orderBy(col("a"), col("b"))),
 
     // VERDICT r2 #1: same operator with the hot-shingle cap ENGAGED
@@ -453,12 +454,13 @@ object SparkEntry {
     // oracle could silently diverge at scale now has a hard signal.
     "dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5,
-        maxShingleDf = cappedShingleDf)
+        maxShingleDf = cappedShingleDf,
+        precomputedShingles = Some(Harness.shingles3(s, dir)))
         .orderBy(col("a"), col("b"))),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(Harness.documents(s, dir), n = 3, numPerms = 16,
-        rowsPerBand = 4)
+        rowsPerBand = 4, precomputedSigs = Some(Harness.minhashSigs16(s, dir)))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))),
 
@@ -468,7 +470,7 @@ object SparkEntry {
     // stays for row-set stability across rounds.
     "dedup_minhash_derived" -> ((s, dir) =>
       Dedup.minhashLshCandidates(Harness.documents(s, dir), n = 3, numPerms = 16,
-        threshold = 0.5)
+        threshold = 0.5, precomputedSigs = Some(Harness.minhashSigs16(s, dir)))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))),
 

@@ -64,11 +64,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
     // the shingle pass (tokenize + sliding windows per doc) feeds sizes,
     // df, the rare semi-join AND the hot-set build — persist so it runs
-    // once, not four times (r4; narrow (id, shingle) rows, spillable)
-    val sh = shingles(docs, n, idCol, textCol)
+    // once, not four times (r4; narrow (id, shingle) rows, spillable).
+    // Callers running SEVERAL analyses over one corpus (e.g. capped and
+    // uncapped thresholds) pass the same frame via precomputedShingles
+    // so the tokenize+shingle pass amortizes across calls too.
+    val sh = precomputedShingles.getOrElse(shingles(docs, n, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
@@ -175,7 +179,8 @@ object Dedup {
                            rowsPerBand: Int = 0, maxBandSize: Long = 10000,
                            threshold: Double = 0.5,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           precomputedSigs: Option[DataFrame] = None): DataFrame = {
     // Default (rowsPerBand=0, VERDICT r2 next-round #3): derive the
     // banding from the target Jaccard threshold so the S-curve knee
     // lands at it — callers get threshold-appropriate banding without
@@ -184,8 +189,10 @@ object Dedup {
     // the signature pass (tokenize + shingle + numPerms hashes per doc)
     // feeds banding AND both est_jaccard re-attach joins — persist the
     // narrow (id, sig) frame so it runs once, not three times (r4; at
-    // corpus scale it is numPerms longs per doc, spillable)
-    val sigs = minhashSignatures(docs, n, numPerms, idCol, textCol)
+    // corpus scale it is numPerms longs per doc, spillable). Several
+    // banding configs over one corpus (pinned vs derived) share the
+    // pass via precomputedSigs.
+    val sigs = precomputedSigs.getOrElse(minhashSignatures(docs, n, numPerms, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBands = numPerms / rpb
     val banded = sigs.select(col(idCol),

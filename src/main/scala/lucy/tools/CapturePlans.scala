@@ -138,6 +138,16 @@ object CapturePlans {
       sampleCap = 4096, iters = 2)
     sb.append("\n=====PLAN6: IVF ANN (broadcast probe join onto narrow assignment map)\n")
     sb.append(planOf(p6))
+
+    // PLAN7 (r4): as-of join — what to read for: NO join node at all;
+    // one Exchange hashpartitioning(key) feeding a Window with
+    // last(ignoreNulls). The quadratic range-join shape never appears.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val refs = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max_by(col("value"), col("event_id")).as("amount"))
+    val p7 = lucy.pipeline.Relational.asofJoin(ev, refs, "user_id", "ts")
+    sb.append("\n=====PLAN7: as-of join (union + ONE keyed exchange + window; no join node)\n")
+    sb.append(planOf(p7))
     sb.append("```\n")
 
     Files.writeString(Paths.get(out), sb.toString)
