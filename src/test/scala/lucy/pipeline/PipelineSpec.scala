@@ -340,6 +340,35 @@ class PipelineSpec extends SparkFunSuite {
     assert(expected.nonEmpty && got === expected)
   }
 
+  test("relational ops are parallelism-invariant (shuffle partitions 2 vs 32) (r4)") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val refs = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("amount"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    def runAll(): (Set[String], Set[String], Set[String]) = (
+      Relational.asofJoin(ev, refs, "user_id", "ts")
+        .select(col("event_id"), col("ref_ts"), col("ref_amount"))
+        .collect().map(_.toString).toSet,
+      Relational.intervalJoin(ev.filter(col("event_type") === "purchase"), clicks,
+        "user_id", "ts", 3600L)
+        .groupBy(col("event_id")).agg(count(lit(1)), sum(col("__rval.value")))
+        .collect().map(_.toString).toSet,
+      Relational.sessionize(ev, "30 minutes")
+        .collect().map(_.toString).toSet)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val at2 = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = runAll()
+      assert(at2 === at32, "relational results must not depend on parallelism")
+      assert(at2._1.nonEmpty && at2._2.nonEmpty && at2._3.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("interval join property: equals the quadratic definition, boundaries inclusive (r4)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
