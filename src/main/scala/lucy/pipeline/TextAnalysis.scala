@@ -29,7 +29,12 @@ object TextAnalysis {
     * Stopword ratio is the workhorse of both langId and quality.
     */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokensCol(col(textCol))
+    // null text ≡ empty text (r4): without the coalesce, NULL propagates
+    // through size() into n_tokens, and Spark's null-ignoring least()
+    // then gave a NULL document len_score 1.0 — quality 0.4 for no
+    // content. The driver corpora carry no nulls; this is a library-
+    // boundary guard (PF4), pinned in EdgeCaseSpec.
+    val toks = tokensCol(coalesce(col(textCol), lit("")))
     docs
       .withColumn("n_tokens", size(toks))
       .withColumn("n_stop", size(filter(toks, t => t.isin(LucySpec.stopwords.toSeq: _*))))
@@ -62,7 +67,7 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokenStats(docs, textCol)
     t.withColumn("alnum_ratio",
-      when(length(col(textCol)) > 0,
+      when(coalesce(length(col(textCol)), lit(0)) > 0,
         (length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")).cast("double")) /
           length(col(textCol)))
         .otherwise(lit(0.0)))
@@ -80,13 +85,15 @@ object TextAnalysis {
     * exploded char array (VERDICT r2 what's-wrong #4) — same value, one
     * codegen'd pass per row.
     */
-  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit("")) // null text ≡ empty (r4, PF4)
     docs
-      .withColumn("ws_tokens", size(split(trim(col(textCol)), " +")))
-      .withColumn("word_tokens", size(tokensCol(col(textCol))))
+      .withColumn("ws_tokens", size(split(trim(t), " +")))
+      .withColumn("word_tokens", size(tokensCol(t)))
       .withColumn("bpe_ish_tokens",
-        length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
-          + size(split(trim(col(textCol)), " +"))) // chars + word boundaries proxy
+        length(regexp_replace(lower(t), "[^a-z0-9]", ""))
+          + size(split(trim(t), " +"))) // chars + word boundaries proxy
+  }
 
   /** 64-bit rolling polynomial fingerprint over the LucySpec token
     * stream (order-sensitive, unlike bag-of-words hashes). UDF: the

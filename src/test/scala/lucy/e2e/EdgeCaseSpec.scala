@@ -75,4 +75,29 @@ class EdgeCaseSpec extends SparkFunSuite {
         NaiveSearch.search(termTf, docmap, stats, q, mode, 15), s"salted-compacted[$q]")
     }
   }
+
+  test("null text == empty text across the text-analysis operators (r4, PF4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import lucy.pipeline.{Dedup, TextAnalysis}
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    def row(df: org.apache.spark.sql.DataFrame, cols: String*) = {
+      val m = df.select(col("doc_id") +: cols.map(col): _*)
+        .collect().map(r => r.getLong(0) -> cols.indices.map(i => r.get(i + 1))).toMap
+      assert(m(1L) === m(2L), s"null and empty text must agree on ${cols.mkString(",")}")
+      m(1L)
+    }
+    assert(row(TextAnalysis.langId(docs), "n_tokens", "stop_ratio", "predicted_lang")
+      === Seq(0, 0.0, "unknown"))
+    // a contentless doc scores 0.0 — the null-ignoring least() used to
+    // give NULL text a len_score of 1.0 and quality 0.4
+    assert(row(TextAnalysis.qualityScore(docs), "quality") === Seq(0.0))
+    assert(row(TextAnalysis.tokenCounts(docs), "ws_tokens", "word_tokens", "bpe_ish_tokens")
+      === Seq(1, 0, 1))
+    assert(row(TextAnalysis.fingerprints(TextAnalysis.simhashes(docs)), "fingerprint", "simhash")
+      === Seq(1125899906842597L, 0L))
+    // sketch dedups: no shingles -> no candidate pairs, no crash
+    assert(Dedup.ngramJaccardPairs(docs).count() === 0L)
+    assert(Dedup.simhashPairs(docs).count() >= 0L)
+  }
 }
