@@ -397,7 +397,7 @@ object SparkEntry {
       lucy.pipeline.Relational.intervalJoin(purchases, clicks, "user_id", "ts", 3600L)
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_clicks"),
-          round(sum(col("__rval.value")), 6).as("click_value"))
+          round(sum(col("ref.value")), 6).as("click_value"))
         .orderBy(col("event_id"))
     }),
 

@@ -65,7 +65,9 @@ object Relational {
     * spans at most two buckets), then the exact range filter. Fan-out
     * is 2× the left side plus per-bucket density — never the quadratic
     * candidate set of a raw theta join, and Catalyst runs it as a hash
-    * join on (key, bucket).
+    * join on (key, bucket). Output: left rows (original columns) plus
+    * `ref_ts` and a `ref` struct of the right row's value columns —
+    * one output row per matching (left, right) pair.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                    windowSeconds: Long = 3600L): DataFrame = {
@@ -77,12 +79,12 @@ object Relational {
     val l = left.withColumn("__b0", floor(micros(col(ts)) / us))
       .withColumn("__bucket", explode(array(col("__b0") - 1, col("__b0"))))
       .drop("__b0")
-    val r = right.select(col(key), col(ts).as("__rts"),
-      struct(right.columns.filterNot(c => c == key || c == ts).map(col): _*).as("__rval"))
-      .withColumn("__bucket", floor(micros(col("__rts")) / us))
+    val r = right.select(col(key), col(ts).as("ref_ts"),
+      struct(right.columns.filterNot(c => c == key || c == ts).map(col): _*).as("ref"))
+      .withColumn("__bucket", floor(micros(col("ref_ts")) / us))
     l.join(r, Seq(key, "__bucket"))
-      .filter(col("__rts") <= col(ts) &&
-        micros(col("__rts")) >= micros(col(ts)) - us)
+      .filter(col("ref_ts") <= col(ts) &&
+        micros(col("ref_ts")) >= micros(col(ts)) - us)
       .drop("__bucket")
   }
 

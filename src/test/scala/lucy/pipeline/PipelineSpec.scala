@@ -354,7 +354,7 @@ class PipelineSpec extends SparkFunSuite {
         .collect().map(_.toString).toSet,
       Relational.intervalJoin(ev.filter(col("event_type") === "purchase"), clicks,
         "user_id", "ts", 3600L)
-        .groupBy(col("event_id")).agg(count(lit(1)), sum(col("__rval.value")))
+        .groupBy(col("event_id")).agg(count(lit(1)), sum(col("ref.value")))
         .collect().map(_.toString).toSet,
       Relational.sessionize(ev, "30 minutes")
         .collect().map(_.toString).toSet)
@@ -384,7 +384,7 @@ class PipelineSpec extends SparkFunSuite {
     }
     val got = Relational.intervalJoin(
       left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "rid"), "k", "ts", 60L)
-      .select(col("lid"), col("__rval.rid"))
+      .select(col("lid"), col("ref.rid"))
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     val expected = (for {
       (lk, lts, lid) <- left
