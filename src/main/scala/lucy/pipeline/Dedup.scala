@@ -18,6 +18,13 @@ import lucy.{LucySpec, XxHash64}
   *  - MinHash/LSH: signatures are a narrow map; banding turns near-dup
   *    search into a groupBy on band keys — the standard sublinear path.
   *  - SimHash: 64-bit sketch, bucket by prefix, verify by Hamming.
+  *
+  * Cache lifetime: the sketch/bucket-size frames these operators
+  * persist (MEMORY_AND_DISK) stay registered with the session's
+  * CacheManager until `unpersist`/`clearCache` — right for a pipeline
+  * job that materializes its outputs and exits; a long-lived service
+  * interleaving many dedup calls should clear the cache between
+  * corpora.
   */
 object Dedup {
 

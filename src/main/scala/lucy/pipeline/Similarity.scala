@@ -409,8 +409,10 @@ object Similarity {
     * what's-wrong #1 named this as the 10¹²-row path; r4 implements
     * it). Level 1 is the spherical coarse quantizer; level 2 is one
     * SHARED spherical codebook over normalized level-1 RESIDUALS
-    * (v̂ − c1) — the inverted-multi-index design: the model stays
-    * (k1+k2)·d doubles, never k1·k2·d. Cell id = c1·k2 + c2.
+    * (v̂ − c1) — the inverted-multi-index idea (Babenko & Lempitsky,
+    * CVPR 2012 [LIT]; here a residual codebook rather than a product
+    * split): the model stays (k1+k2)·d doubles, never k1·k2·d. Cell
+    * id = c1·k2 + c2.
     *
     * At n = 10¹²: k1 = k2 = 1000 → 10⁶ cells of ~10⁶ rows, trained
     * from one 65536-row sample, assigned at 2000 dot products per row —

@@ -151,7 +151,21 @@ def minhash_sig(tokens, n=3, num_perms=16):
     return sig
 
 
+def selftest():
+    """xxh64 against the published test vectors (run: --selftest)."""
+    vecs = [(b"", 0, 0xEF46DB3751D8E999),
+            (b"a", 0, 0xD24EC4F1A98C6E5B),
+            (b"abc", 0, 0x44BC2CF5AD770999),
+            (b"Nobody inspects the spammish repetition", 0, 0xFBCEA83C8A378BF1)]
+    for data, seed, exp in vecs:
+        got = xxh64(data, seed)
+        assert got == exp, f"xxh64({data!r}, {seed}) = {got:#x}, want {exp:#x}"
+    print("xxh64 selftest: all public vectors OK")
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        return selftest()
     sfdirs = sys.argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
     con = duckdb.connect()
     texts = {}
