@@ -145,6 +145,27 @@ object SparkEntry {
     */
   private val deleteWhere = "doc_id % 7 <> 0"
 
+  /** 3-gram Jaccard near-dup pairs at τ = 0.5, as SQL (no ORDER BY —
+    * shared by the pair entry and the recursive cluster oracle).
+    */
+  private val ngramPairsSql =
+    s"""WITH tl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    t -> t <> '' AND length(t) <= 64 AND t NOT IN ($stopList)) AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM tl),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, shared,
+       |       shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+       |WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin
+
   /** Hot-shingle cap for the dedup_ngram_capped entry — low enough to
     * ENGAGE on the driver corpora (VERDICT r2 #1), shared between the
     * Spark call and the SQL twin so they cannot drift.
@@ -447,6 +468,14 @@ object SparkEntry {
         precomputedShingles = Some(Harness.shingles3(s, dir)))
         .orderBy(col("a"), col("b"))),
 
+    // r4 capstone: one canonical per near-dup CLUSTER (connected
+    // components over the pair graph; transitive links chain).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5,
+          precomputedShingles = Some(Harness.shingles3(s, dir))))
+        .orderBy(col("id"))),
+
     // VERDICT r2 #1: same operator with the hot-shingle cap ENGAGED
     // (max shingle df is 8 at sf0.01, 28 at sf0.1 — cap 5 bites at
     // both). The oracle mirrors the rare-candidate rule; shared/jaccard
@@ -696,24 +725,20 @@ object SparkEntry {
         |       doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH tl AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-         |    t -> t <> '' AND length(t) <= 64 AND t NOT IN ($stopList)) AS toks
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM tl),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a, b, shared,
-         |       shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
-         |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
-         |WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.5
-         |ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard" -> (ngramPairsSql + "\nORDER BY a, b"),
+
+    // r4: connected components over the same near-dup pair graph — the
+    // cluster canonical (min reachable doc id) per doc. The oracle
+    // states the closure as a recursive CTE over the pairs query.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$ngramPairsSql),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+         |  UNION
+         |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.id)
+         |SELECT id, min(label) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // Mirrors Dedup.ngramJaccardPairs with maxShingleDf engaged:
     // candidates require ≥1 shared RARE shingle (sdf ≤ cap) — the

@@ -302,6 +302,47 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Connected components over near-dup pairs — the dedup capstone: a
+    * pipeline keeps ONE doc per near-dup CLUSTER, and pair lists from
+    * any of the candidate generators (ngram / minhash / simhash /
+    * embedding) chain through transitive links. Each doc in the pair
+    * graph is labeled with the minimum doc id reachable from it (the
+    * cluster canonical).
+    *
+    * Shape: iterative min-label propagation — labels start as own ids;
+    * every round each node takes the min of its own and its neighbors'
+    * labels; converges in O(graph diameter) rounds (near-dup clusters
+    * are shallow). Each round is ONE shuffle carrying (id, label)
+    * pairs only; the previous round is unpersisted as soon as the next
+    * materializes, so lineage and cache stay bounded. Docs with no
+    * pairs don't appear (they are their own cluster).
+    */
+  def nearDupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
+        .select(col("x").as("id"), col("label"))
+      val next = labels.union(nbr).groupBy(col("id"))
+        .agg(min(col("label")).as("label")).persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** SimHash core (shared with TextAnalysis.simhashUdf). */
   def simhash64(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)

@@ -340,6 +340,26 @@ class PipelineSpec extends SparkFunSuite {
     assert(expected.nonEmpty && got === expected)
   }
 
+  test("near-dup clusters: transitive chains collapse to min-id canonicals (r4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain 1-2, 2-3, 3-4 → one cluster labeled 1; pair 10-11; isolated
+    // edge 7-20 where the smaller id is on the b side
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 7L))
+      .toDF("a", "b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 20L -> 7L))
+    // property: clustering exact-dup pairs reproduces exact dedup's
+    // canonical assignment on the planted corpus (docs 2/3 identical)
+    val exactPairs = Dedup.exact(docs).filter(col("is_dup"))
+      .select(col("canonical_id").as("a"), col("doc_id").as("b"))
+    val clusters = Dedup.nearDupClusters(exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(2L -> 2L, 3L -> 2L))
+  }
+
   test("relational ops are parallelism-invariant (shuffle partitions 2 vs 32) (r4)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
