@@ -347,10 +347,16 @@ class PipelineSpec extends SparkFunSuite {
     // edge 7-20 where the smaller id is on the b side
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 7L))
       .toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 20L -> 7L)
     val got = Dedup.nearDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 7L -> 7L, 20L -> 7L))
+    assert(got === expected)
+    // the distributed propagation path (forced past the local-graph
+    // shortcut) must produce identical labels
+    val distributed = Dedup.nearDupClusters(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === expected)
     // property: clustering exact-dup pairs reproduces exact dedup's
     // canonical assignment on the planted corpus (docs 2/3 identical)
     val exactPairs = Dedup.exact(docs).filter(col("is_dup"))
