@@ -91,6 +91,16 @@ object Harness {
       lucy.pipeline.Dedup.minhashSignatures(documents(spark, sfDir), 3, 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** ngram-Jaccard pairs at τ = 0.5 — the pair graph three entries
+    * consume (pairs, clusters, keep-best); the shared-shingle join is
+    * the expensive part, so it runs once.
+    */
+  def ngramPairs05(spark: SparkSession, sfDir: String): DataFrame =
+    sketches.getOrElseUpdate(("np05", sfDir),
+      lucy.pipeline.Dedup.ngramJaccardPairs(documents(spark, sfDir), n = 3,
+        threshold = 0.5, precomputedShingles = Some(shingles3(spark, sfDir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** docmap projected to (docId, url), pinned — the per-entry join-back
     * side for every bm25 harness entry.
     */

@@ -166,6 +166,31 @@ object SparkEntry {
        |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
        |WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin
 
+  /** Quality-score CTE chain + final expression (shared by the
+    * quality_score oracle and the keep-best cluster oracle).
+    */
+  private val qualityCtes =
+    s"""t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '' AND length(x) <= 64) AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
+       |    len(list_filter(toks, x -> x IN ($stopList)))::BIGINT AS n_stop
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN length(text) > 0
+       |         THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text)
+       |         ELSE 0.0 END AS alnum_ratio,
+       |    least(1.0, n_tokens::DOUBLE / 100.0) AS len_score
+       |  FROM s)""".stripMargin
+
+  private val qualityExprSql =
+    "round(0.4 * len_score + 0.3 * least(1.0, stop_ratio * 4.0) + 0.3 * alnum_ratio, 9)"
+
   /** Hot-shingle cap for the dedup_ngram_capped entry — low enough to
     * ENGAGE on the driver corpora (VERDICT r2 #1), shared between the
     * Spark call and the SQL twin so they cannot drift.
@@ -464,17 +489,29 @@ object SparkEntry {
       Dedup.exact(Harness.documents(s, dir)).orderBy(col("doc_id"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5,
-        precomputedShingles = Some(Harness.shingles3(s, dir)))
-        .orderBy(col("a"), col("b"))),
+      Harness.ngramPairs05(s, dir).orderBy(col("a"), col("b"))),
 
     // r4 capstone: one canonical per near-dup CLUSTER (connected
     // components over the pair graph; transitive links chain).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(
-        Dedup.ngramJaccardPairs(Harness.documents(s, dir), n = 3, threshold = 0.5,
-          precomputedShingles = Some(Harness.shingles3(s, dir))))
-        .orderBy(col("id"))),
+      Dedup.nearDupClusters(Harness.ngramPairs05(s, dir)).orderBy(col("id"))),
+
+    // r4: canonical SELECTION — per near-dup cluster keep the highest-
+    // quality doc (ties to the lowest id): clusters × qualityScore,
+    // one window rank. The policy a real curation pipeline applies
+    // after clustering.
+    "dedup_keep_best" -> ((s, dir) => {
+      val cl = Dedup.nearDupClusters(Harness.ngramPairs05(s, dir))
+      val q = TextAnalysis.qualityScore(Harness.documents(s, dir))
+        .select(col("doc_id"), round(col("quality"), 9).as("quality"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      cl.join(q, cl("id") === q("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id"), col("quality"))
+        .orderBy(col("cluster"))
+    }),
 
     // VERDICT r2 #1: same operator with the hot-shingle cap ENGAGED
     // (max shingle df is 8 at sf0.01, 28 at sf0.1 — cap 5 bites at
@@ -788,27 +825,29 @@ object SparkEntry {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-         |      x -> x <> '' AND length(x) <= 64) AS toks
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
-         |    len(list_filter(toks, x -> x IN ($stopList)))::BIGINT AS n_stop
-         |  FROM t),
-         |r AS (
-         |  SELECT doc_id, n_tokens,
-         |    CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stop_ratio,
-         |    CASE WHEN length(text) > 0
-         |         THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text)
-         |         ELSE 0.0 END AS alnum_ratio,
-         |    least(1.0, n_tokens::DOUBLE / 100.0) AS len_score
-         |  FROM s)
+      s"""WITH $qualityCtes
          |SELECT doc_id, n_tokens, round(stop_ratio, 9) AS stop_ratio,
-         |  round(alnum_ratio, 9) AS alnum_ratio,
-         |  round(0.4 * len_score + 0.3 * least(1.0, stop_ratio * 4.0) + 0.3 * alnum_ratio, 9) AS quality
+         |  round(alnum_ratio, 9) AS alnum_ratio, $qualityExprSql AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // canonical selection: best quality per near-dup cluster (ties to
+    // the lowest doc id), over the recursive-CTE cluster assignment
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$ngramPairsSql),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+         |  UNION
+         |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.id),
+         |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |q AS (WITH $qualityCtes SELECT doc_id, $qualityExprSql AS quality FROM r)
+         |SELECT cluster, doc_id, quality FROM (
+         |  SELECT cl.cluster, q.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.quality DESC, q.doc_id) AS rn
+         |  FROM cl JOIN q ON cl.id = q.doc_id)
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "token_counts" ->
       s"""SELECT doc_id,

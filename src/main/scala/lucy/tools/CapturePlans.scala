@@ -148,6 +148,13 @@ object CapturePlans {
     val p7 = lucy.pipeline.Relational.asofJoin(ev, refs, "user_id", "ts")
     sb.append("\n=====PLAN7: as-of join (union + ONE keyed exchange + window; no join node)\n")
     sb.append(planOf(p7))
+
+    // PLAN8 (r4): two-level IVF — same corpus-unshuffled probe-join
+    // shape as PLAN6 with the (k1+k2)·d assignment UDF in the map.
+    val p8 = lucy.pipeline.Similarity.ivfTwoLevelTopK(vecs, vq, k = 5,
+      corpusCount = 20000, sampleCap = 4096, iters = 2)
+    sb.append("\n=====PLAN8: two-level IVF ANN (broadcast multi-probe join, corpus unshuffled)\n")
+    sb.append(planOf(p8))
     sb.append("```\n")
 
     Files.writeString(Paths.get(out), sb.toString)
