@@ -101,6 +101,14 @@ object Harness {
         threshold = 0.5, precomputedShingles = Some(shingles3(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Cluster assignment over the τ = 0.5 pair graph (consumed by the
+    * clusters entry and the keep-best selection).
+    */
+  def clusters05(spark: SparkSession, sfDir: String): DataFrame =
+    sketches.getOrElseUpdate(("cl05", sfDir),
+      lucy.pipeline.Dedup.nearDupClusters(ngramPairs05(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** docmap projected to (docId, url), pinned — the per-entry join-back
     * side for every bm25 harness entry.
     */

@@ -494,14 +494,14 @@ object SparkEntry {
     // r4 capstone: one canonical per near-dup CLUSTER (connected
     // components over the pair graph; transitive links chain).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(Harness.ngramPairs05(s, dir)).orderBy(col("id"))),
+      Harness.clusters05(s, dir).orderBy(col("id"))),
 
     // r4: canonical SELECTION — per near-dup cluster keep the highest-
     // quality doc (ties to the lowest id): clusters × qualityScore,
     // one window rank. The policy a real curation pipeline applies
     // after clustering.
     "dedup_keep_best" -> ((s, dir) => {
-      val cl = Dedup.nearDupClusters(Harness.ngramPairs05(s, dir))
+      val cl = Harness.clusters05(s, dir)
       val q = TextAnalysis.qualityScore(Harness.documents(s, dir))
         .select(col("doc_id"), round(col("quality"), 9).as("quality"))
       val w = Window.partitionBy(col("cluster"))
