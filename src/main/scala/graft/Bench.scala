@@ -103,9 +103,15 @@ object Bench {
     val concQps = (QuerySet.reference.size * passes) / timings("queries_concurrent")
 
     // Phase gating for scaling campaigns (r4): A/B/C always run (they
-    // carry the headline metrics); D/E/F are skippable so a 2-core
-    // scaling rep doesn't pay the full operator sweep. Default = all.
-    val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "ABCDEF")
+    // carry the headline metrics); D..H are skippable so a 2-core
+    // scaling rep doesn't pay the full operator sweep. Default = A-G
+    // (H, the ≥1M-doc dedup soak, is campaign-gated by design).
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "ABCDEFG")
+
+    // Locale.ROOT: default-locale "%.3f" yields comma decimals under e.g.
+    // de_DE and would crash .toDouble after all phases complete (ADVICE r1)
+    def num(fmt: String, v: Double): Double =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v)).toDouble
 
     // Phase D: harness operator sweep over the driver tables
     if (phases.contains('D')) timed("harness_total") {
@@ -116,12 +122,6 @@ object Bench {
         }
       }
     }
-
-    // No-silent-caps evidence in the acceptance record (r4): every
-    // capped operator that ran in phase D reports its drop accounting.
-    val capDrops = lucy.pipeline.CapStats.all.map { d =>
-      s""""drops_${d.op}":${d.droppedBuckets}"""
-    }.mkString(",")
 
     // Phase E (r3): compaction wall-time — base 50k + delta 10k folded
     // into a new generation (the merge now SLICES position streams
@@ -147,6 +147,7 @@ object Bench {
     // sampleCap/iters (geometry unchanged: numLists = √n = 1000 is far
     // below either cap) to keep the driver-side k-means training a
     // bounded share of the phase.
+    var annRecall = ""
     if (phases.contains('F')) {
       import lucy.fixtures.VecGen
       import lucy.pipeline.Similarity
@@ -158,33 +159,171 @@ object Bench {
         v
       }
       val queries = vecs.filter(col("vec_id") < 16)
-      timed("ann_ivf_1m") {
-        Similarity.ivfCosineTopK(vecs, queries, k = 10, corpusCount = annN,
-          sampleCap = 16384, iters = 2).count()
+      // Recall is MEASURED, not assumed (VERDICT r4 next-round #2):
+      // brute-force top-10 over the same 16 queries is the truth set —
+      // 16·n exact dots, a bounded extra phase cost — and each ANN
+      // path's result is scored against it, so the bench record ties
+      // "fast" to "still finding the right neighbors" as the derived
+      // parameters coarsen with n.
+      val bruteTop = timed("ann_brute_truth") {
+        Similarity.bruteCosineTopK(vecs, queries, k = 10)
+          .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       }
-      timed("ann_lsh_1m") {
-        Similarity.lshCosineTopK(vecs, queries, k = 10, corpusCount = annN).count()
+      def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+        val byQ = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val rs = bruteTop.map { case (q, top) =>
+          byQ.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size }
+        rs.sum / rs.size
+      }
+      val ivfRows = timed("ann_ivf_1m") {
+        // explicit numLists pins the FLAT path (at 10M+ the derived
+        // default now dispatches to two-level — r5), keeping this
+        // datapoint comparable across rounds and corpus sizes
+        val (dnl, _) = Similarity.ivfParamsFor(annN, 16384)
+        Similarity.ivfCosineTopK(vecs, queries, k = 10, numLists = dnl,
+          corpusCount = annN, sampleCap = 16384, iters = 2).collect()
+      }
+      val lshRows = timed("ann_lsh_1m") {
+        Similarity.lshCosineTopK(vecs, queries, k = 10, corpusCount = annN).collect()
       }
       // two-level quantizer (r4): k1=k2=n^(1/4) → same √n cell count as
       // the flat path at (k1+k2)·d assignment cost — the 10^12 shape
-      timed("ann_ivf2_1m") {
+      val ivf2Rows = timed("ann_ivf2_1m") {
         Similarity.ivfTwoLevelTopK(vecs, queries, k = 10, corpusCount = annN,
-          sampleCap = 16384, iters = 2).count()
+          sampleCap = 16384, iters = 2).collect()
       }
+      annRecall = s""""ann_recall":{"ivf":${num("%.3f", recallOf(ivfRows))},""" +
+        s""""lsh":${num("%.3f", recallOf(lshRows))},""" +
+        s""""ivf2":${num("%.3f", recallOf(ivf2Rows))}},"""
       vecs.unpersist()
     }
 
-    // Locale.ROOT: default-locale "%.3f" yields comma decimals under e.g.
-    // de_DE and would crash .toDouble after all phases complete (ADVICE r1)
-    def num(fmt: String, v: Double): Double =
-      String.format(java.util.Locale.ROOT, fmt, Double.box(v)).toDouble
+    // Phase G (r5, VERDICT r4 next-round #6): LucyStore serving-while-
+    // ingesting throughput — bootstrap, micro-batch puts, live search,
+    // tombstone delete, compaction, post-compaction search. The store
+    // had correctness coverage (LucyStoreSpec) but no throughput
+    // datapoint.
+    var storeStats = ""
+    if (phases.contains('G')) {
+      import spark.implicits._
+      val storeDocs = sys.env.get("SPARK_GRAFT_STORE_DOCS").map(_.toLong).getOrElse(200000L)
+      val root = Files.createTempDirectory("lucy-bench-lucystore").toString + "/store"
+      val store = new lucy.LucyStore(spark, root)
+      timed("store_bootstrap") {
+        store.bootstrap(PagesGen.pages(spark, storeDocs, cpus.toInt * 2))
+      }
+      val batch = math.max(1000L, storeDocs / 20)
+      timed("store_puts") {
+        var b = 0L
+        while (b < 5) {
+          val lo = storeDocs + b * batch
+          store.put(spark.range(lo, lo + batch).as[Long].map(PagesGen.page _).toDF(), b)
+          b += 1
+        }
+      }
+      val liveQueries = QuerySet.reference.take(5)
+      timed("store_search_live") {
+        liveQueries.foreach(q => store.search(q.query, q.mode, q.k).collect())
+      }
+      timed("store_delete") {
+        store.delete((0L until 1000L).map(i => s"https://example.org/p/$i"))
+      }
+      timed("store_compact") { store.compact() }
+      timed("store_search_compacted") {
+        liveQueries.foreach(q => store.search(q.query, q.mode, q.k).collect())
+      }
+      storeStats = s""""store_put_docs_per_sec":${num("%.1f", 5 * batch / timings("store_puts"))},"""
+    }
+
+    // Phase H (r5, VERDICT r4 next-round #3): dedup-family soak over a
+    // generated ≥1M-doc corpus with PLANTED near-dup clusters
+    // (NearDupGen) — wall time AND recall vs planted truth for
+    // minhash/simhash/ngram-capped, connected-components cluster count,
+    // with the hot-bucket caps visibly engaged by a planted
+    // mega-cluster (non-zero cap_drops in this record). Campaign-gated
+    // (not in the default driver phases): the ngram shingle self-join
+    // over ~90M shingle rows is minutes of work by design.
+    var dedupSoak = ""
+    if (phases.contains('H')) {
+      import lucy.pipeline.Dedup
+      import org.apache.spark.sql.functions.{col, udf}
+      val planted = sys.env.get("SPARK_GRAFT_DEDUP_DOCS").map(_.toLong).getOrElse(999996L)
+      val mega = sys.env.get("SPARK_GRAFT_DEDUP_MEGA").map(_.toLong).getOrElse(20000L)
+      val d = timed("dedup_soak_gen") {
+        val c = lucy.fixtures.NearDupGen.corpus(spark, planted, mega, cpus.toInt * 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      }
+      val clusterUdf = udf((id: Long) => lucy.fixtures.NearDupGen.clusterOf(id))
+      val truePairs = lucy.fixtures.NearDupGen.truePairs(planted)
+      // (total plantedPairs, intra-cluster plantedPairs) for a pair frame,
+      // mega docs excluded — they are exact-dedup's domain and capped here
+      def pairStats(pairs: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val p = pairs.filter(col("a") < planted && col("b") < planted)
+          .withColumn("ca", clusterUdf(col("a")))
+          .withColumn("cb", clusterUdf(col("b")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = p.count()
+        val intra = p.filter(col("ca") === col("cb")).count()
+        p.unpersist()
+        (total, intra)
+      }
+      val mhPairs = timed("dedup_soak_minhash") {
+        val p = Dedup.minhashLshCandidates(d, n = 3, numPerms = 16, threshold = 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      val (mhTotal, mhIntra) = pairStats(mhPairs)
+      val (shTotal, shIntra) = {
+        val p = timed("dedup_soak_simhash") {
+          val x = Dedup.simhashPairs(d, maxHamming = 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          x.count(); x
+        }
+        val s = pairStats(p); p.unpersist(); s
+      }
+      val (ngTotal, ngIntra) = {
+        val p = timed("dedup_soak_ngram") {
+          val x = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5, maxShingleDf = 1000)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          x.count(); x
+        }
+        val s = pairStats(p); p.unpersist(); s
+      }
+      val nClusters = timed("dedup_soak_clusters") {
+        Dedup.nearDupClusters(mhPairs.filter(col("est_jaccard") >= 0.5))
+          .select(col("cluster")).distinct().count()
+      }
+      mhPairs.unpersist()
+      d.unpersist()
+      Dedup.releaseCaches()
+      dedupSoak = s""""dedup_soak":{"planted_docs":$planted,"mega_docs":$mega,""" +
+        s""""true_pairs":$truePairs,""" +
+        s""""minhash_pairs":$mhTotal,"minhash_recall":${num("%.4f", mhIntra.toDouble / truePairs)},""" +
+        s""""minhash_precision":${num("%.4f", if (mhTotal == 0) 0.0 else mhIntra.toDouble / mhTotal)},""" +
+        s""""simhash_pairs":$shTotal,"simhash_recall":${num("%.4f", shIntra.toDouble / truePairs)},""" +
+        s""""ngram_pairs":$ngTotal,"ngram_recall":${num("%.4f", ngIntra.toDouble / truePairs)},""" +
+        s""""ngram_precision":${num("%.4f", if (ngTotal == 0) 0.0 else ngIntra.toDouble / ngTotal)},""" +
+        s""""clusters_found":$nClusters},"""
+    }
+
+    // No-silent-caps evidence in the acceptance record (r4; collected
+    // AFTER every phase since r5 so the soak's engaged caps and any
+    // propagation non-convergence show up too): every capped operator
+    // that ran reports its drop accounting.
+    val capDrops = lucy.pipeline.CapStats.all.map { d =>
+      s""""drops_${d.op}":${d.droppedBuckets}"""
+    }.mkString(",")
+
     val total = timings("index_build") + timings("queries_sequential") +
       timings("queries_concurrent") + timings.getOrElse("harness_total", 0.0)
     val qs = timings.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }
       .mkString("{", ",", "}")
     val capField = if (capDrops.isEmpty) "" else s""""cap_drops":{$capDrops},"""
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
-      s""""queries":$qs,$capField"sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
+      s""""queries":$qs,$capField$annRecall$storeStats$dedupSoak""" +
+      s""""sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
       s""""postings":${manifest.postings},"docs_per_sec":${num("%.1f", docsPerSec)},""" +
       s""""qps_sequential":${num("%.2f", seqQps)},""" +
       s""""qps_concurrent":${num("%.2f", concQps)}}""")

@@ -33,6 +33,22 @@ object CapStats {
       log.info(s"[$op] hot-bucket cap dropped 0 buckets")
   }
 
+  /** Loud non-convergence accounting (ADVICE r4 #1): an iterative
+    * fixed-point (label propagation) that exits at its iteration cap
+    * with work still pending is the same class of silent truncation as
+    * a hot-bucket drop — record it in the same ledger so it surfaces
+    * in the bench record's `cap_drops`. `pending` rides in the
+    * droppedBuckets slot (the count the bench serializes).
+    */
+  def recordNonConvergence(op: String, pending: Long, maxIters: Int): Unit = {
+    lastByOp(op) = Drop(op, pending, 0L, 0L)
+    if (pending > 0)
+      log.warn(s"[$op] iterative propagation did NOT converge within " +
+        s"$maxIters iterations — $pending labels were still changing; " +
+        "cluster labels may be non-canonical for components with " +
+        "diameter > maxIters. Raise maxIters.")
+  }
+
   /** Most recent drop record for an operator, if it has run. */
   def last(op: String): Option[Drop] = lastByOp.get(op)
 

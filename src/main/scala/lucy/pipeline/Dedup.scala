@@ -20,13 +20,41 @@ import lucy.{LucySpec, XxHash64}
   *  - SimHash: 64-bit sketch, bucket by prefix, verify by Hamming.
   *
   * Cache lifetime: the sketch/bucket-size frames these operators
-  * persist (MEMORY_AND_DISK) stay registered with the session's
-  * CacheManager until `unpersist`/`clearCache` — right for a pipeline
-  * job that materializes its outputs and exits; a long-lived service
-  * interleaving many dedup calls should clear the cache between
-  * corpora.
+  * persist (MEMORY_AND_DISK) stay cached until released — right for a
+  * pipeline job that materializes its outputs and exits. A long-lived
+  * service interleaving many dedup calls over different corpora calls
+  * [[releaseCaches]] between corpora (ADVICE r4 #4): it unpersists
+  * every frame THESE operators persisted — and only those — without
+  * touching the session's other cache entries. (The frames stay
+  * referenced by any still-held result plans, which would simply
+  * recompute.)
   */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // Every frame this object persists is tracked here so callers can
+  // drop per-corpus caches without spark.catalog.clearCache() nuking
+  // unrelated entries (ADVICE r4 #4).
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[pipeline] def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(p)
+    p
+  }
+
+  /** Unpersist every frame the dedup/ANN-LSH operators have persisted
+    * (sketches, signatures, bucket-size tables) since the last release.
+    */
+  def releaseCaches(blocking: Boolean = false): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      df = persistedFrames.poll()
+    }
+  }
 
   /** Exact dedup by content hash: every doc tagged with its group's
     * canonical (minimum) id and a dup flag. Shuffles only (hash, id);
@@ -79,8 +107,9 @@ object Dedup {
     // Callers running SEVERAL analyses over one corpus (e.g. capped and
     // uncapped thresholds) pass the same frame via precomputedShingles
     // so the tokenize+shingle pass amortizes across calls too.
-    val sh = precomputedShingles.getOrElse(shingles(docs, n, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (a caller-precomputed frame is caller-owned: not re-persisted, not
+    // released by releaseCaches)
+    val sh = precomputedShingles.getOrElse(persistTracked(shingles(docs, n, idCol, textCol)))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
     val rare = sh.join(sdf.filter(col("sdf") <= maxShingleDf).select("shingle"),
@@ -120,10 +149,9 @@ object Dedup {
     * drop count and the semi-join share one aggregation instead of
     * recomputing the groupBy.
     */
-  private def coolBuckets(banded: DataFrame, idCol: String, keys: Seq[String],
-                          cap: Long, op: String): DataFrame = {
-    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[pipeline] def coolBuckets(banded: DataFrame, idCol: String, keys: Seq[String],
+                                    cap: Long, op: String): DataFrame = {
+    val sizes = persistTracked(banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz")))
     val hot = sizes.filter(col("bsz") > cap)
       .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)),
         // Column `/` is double division — keep the pair bound integral
@@ -199,8 +227,7 @@ object Dedup {
     // corpus scale it is numPerms longs per doc, spillable). Several
     // banding configs over one corpus (pinned vs derived) share the
     // pass via precomputedSigs.
-    val sigs = precomputedSigs.getOrElse(minhashSignatures(docs, n, numPerms, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = precomputedSigs.getOrElse(persistTracked(minhashSignatures(docs, n, numPerms, idCol, textCol)))
     val numBands = numPerms / rpb
     val banded = sigs.select(col(idCol),
       posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("bandPos", "band")),
@@ -266,28 +293,34 @@ object Dedup {
     * and near-identical vectors collide in almost every band. Band
     * geometry derives from the corpus size by default (lshParamsFor),
     * like Similarity.lshCosineTopK.
+    *
+    * Multi-probe (r5): probeBits > 0 expands ONE side of the self-join
+    * with the query-directed probe codes (Similarity.lshProbesUdf), so
+    * pairs whose band codes differ in low-margin bits still surface in
+    * the saturated-geometry regime. Unlike the ANN path — where the
+    * probed side is a handful of queries — here the probed side is the
+    * CORPUS (×2^probeBits band rows), so it defaults to OFF and is an
+    * explicit opt-in cost/recall lever.
     */
   def embeddingCosinePairsLsh(vecs: DataFrame, threshold: Double,
                               numPlanes: Int = 0, bandBits: Int = 0,
                               corpusCount: Long = -1L, maxBucketSize: Long = 10000,
+                              probeBits: Int = 0,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
     val (np, bb) =
       if (numPlanes > 0 && bandBits > 0) (numPlanes, bandBits)
       else Similarity.lshParamsFor(if (corpusCount >= 0) corpusCount else vecs.count())
-    val numBands = np / bb
-    val code = Similarity.lshCodeUdf(np)
-    val banded = vecs
-      .select(col(idCol).as("id"), code(col(vecCol)).as("code"))
-      .select(col("id"),
-        explode(array((0 until numBands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            shiftright(col("code"), bnd * bb)
-              .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bandVal"))
+    val banded = Similarity.bandedFrame(vecs, "id", idCol, vecCol, np, bb)
     val cool = coolBuckets(banded, "id", Seq("band", "bandVal"), maxBucketSize,
       "dedup_embedding_lsh")
-    val l = cool.toDF("a", "band", "bandVal")
+    // probed left side is NOT re-capped (its codes are synthetic); the
+    // capped right side still bounds every bucket's fan-out at
+    // maxBucketSize, so total candidates ≤ leftRows × cap.
+    val l =
+      if (probeBits > 0)
+        Similarity.bandedFrame(vecs, "a", idCol, vecCol, np, bb, probeBits)
+      else cool.toDF("a", "band", "bandVal")
     val r = cool.toDF("b", "band", "bandVal")
     val withVec = vecs.select(col(idCol), col(vecCol),
       Similarity.normCol(col(vecCol)).as("nrm"))
@@ -355,22 +388,37 @@ object Dedup {
     val edges = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
       .distinct().persist(MEMORY_AND_DISK)
+    // Lineage MUST be truncated each round (r5): `labels` feeds both the
+    // neighbor join and the union, so without truncation the logical
+    // plan DOUBLES per round — exponential in iterations; a diameter-30
+    // graph overflowed plan stringification long before any data moved.
+    // localCheckpoint materializes the round's (id, label) rows and
+    // replaces the plan with a scan of them: O(1) plan per round, the
+    // only shape that survives deep graphs. (A driver with a reliable
+    // checkpoint dir configured could use checkpoint() for fault
+    // tolerance; the rows are (long, long) pairs either way.)
     var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
-    labels.count()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbr = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .select(col("x").as("id"), col("label"))
       val next = labels.union(nbr).groupBy(col("id"))
-        .agg(min(col("label")).as("label")).persist(MEMORY_AND_DISK)
+        .agg(min(col("label")).as("label")).localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       it += 1
     }
+    // Loud non-convergence (ADVICE r4 #1): exiting at maxIters with
+    // labels still changing means components whose diameter exceeds
+    // maxIters carry NON-CANONICAL labels — a correctness-affecting
+    // truncation that must never be silent (the same discipline the
+    // hot-bucket caps follow). Recorded always (0 when converged), so
+    // the bench record shows drops_neardup_clusters_unconverged too.
+    CapStats.recordNonConvergence("neardup_clusters_unconverged", changed, maxIters)
     edges.unpersist()
     p.unpersist()
     labels.select(col("id"), col("label").as("cluster"))
@@ -412,8 +460,8 @@ object Dedup {
     require(maxHamming <= 3, "chunk bucketing covers Hamming ≤ 3")
     // sketch pass feeds chunking AND both Hamming re-attach joins —
     // persist the narrow (id, simhash) frame so it runs once (r4)
-    val withSig = docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = persistTracked(
+      docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash")))
     val chunked = withSig.select(col(idCol),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunkNo"),

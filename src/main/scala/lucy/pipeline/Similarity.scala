@@ -120,6 +120,131 @@ object Similarity {
     })
   }
 
+  /** Query-directed multi-probe band codes (VERDICT r4 next-round #1 —
+    * the recall lever lshParamsFor's saturation warning promises; the
+    * probing idea is Lv et al., "Multi-Probe LSH", VLDB 2007 [LIT],
+    * adapted to sign-LSH): beyond the exact band value, also probe the
+    * codes obtained by flipping the bits whose hyperplane margin |v·h|
+    * is SMALLEST — those are precisely the bits most likely to differ
+    * on a true near-neighbor (a near-identical vector lands on the
+    * other side only of hyperplanes it sits close to). Per band, the
+    * probeBits lowest-margin bits are selected and ALL 2^probeBits
+    * sign combinations over them are emitted, so the probe set always
+    * contains the exact code (mask 0) — probing can only ADD candidates
+    * and precision stays 1 (candidates are verified with exact cosine).
+    *
+    * Cost: the emitting side grows ×2^probeBits per band. On the ANN
+    * query path that side is the (tiny) query set, so at n = 10^12 with
+    * the derived 2×30-bit geometry, probeBits = 8 costs 512 band rows
+    * per query and bounds candidates by 2·2^8·bucket — millions of dot
+    * products per query, not the percent-level recall of 2 exact codes.
+    *
+    * Same hyperplane matrix and dot-product loop as lshCodeUdf, so the
+    * mask-0 code is bit-identical to the exact path.
+    */
+  private[pipeline] def lshProbesUdf(numPlanes: Int, bandBits: Int,
+                                     probeBits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val planeCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+    val numBands = numPlanes / bandBits
+    val pb = math.min(probeBits, bandBits)
+    udf((v: Array[Float]) => {
+      val planes = planeCache.computeIfAbsent(v.length,
+        d => Array.tabulate(numPlanes, d)((h, dd) => planeComponent(h, dd)))
+      val dots = new Array[Double](numPlanes)
+      var h = 0
+      while (h < numPlanes) {
+        val p = planes(h)
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d) * p(d); d += 1 }
+        dots(h) = dot
+        h += 1
+      }
+      val out = new Array[(Int, Long)](numBands << pb)
+      var idx = 0
+      var b = 0
+      while (b < numBands) {
+        val base = b * bandBits
+        var bandVal = 0L
+        var i = 0
+        while (i < bandBits) {
+          if (dots(base + i) >= 0) bandVal |= (1L << i)
+          i += 1
+        }
+        // positions of the pb smallest |margin| bits in this band
+        // (partial selection sort over <= 31 elems; ties to the lower
+        // bit index for determinism)
+        val order = Array.range(0, bandBits)
+        var s = 0
+        while (s < pb) {
+          var best = s
+          var j = s + 1
+          while (j < bandBits) {
+            val a = math.abs(dots(base + order(j)))
+            val c = math.abs(dots(base + order(best)))
+            if (a < c || (a == c && order(j) < order(best))) best = j
+            j += 1
+          }
+          val t = order(s); order(s) = order(best); order(best) = t
+          s += 1
+        }
+        var mask = 0
+        while (mask < (1 << pb)) {
+          var flipped = bandVal
+          var bit = 0
+          while (bit < pb) {
+            if ((mask & (1 << bit)) != 0) flipped ^= (1L << order(bit))
+            bit += 1
+          }
+          out(idx) = (b, flipped)
+          idx += 1
+          mask += 1
+        }
+        b += 1
+      }
+      out
+    })
+  }
+
+  /** (id, band, bandVal) band-decomposition rows for a vector frame:
+    * exact codes (probeBits = 0 — one row per band, the shape every
+    * sign-LSH path used through r4), or the multi-probe expansion
+    * (probeBits > 0 — 2^probeBits rows per band, a superset of the
+    * exact rows). Shared by the ANN and dedup LSH paths.
+    */
+  private[pipeline] def bandedFrame(df: DataFrame, outIdCol: String, idCol: String,
+                                    vecCol: String, numPlanes: Int, bandBits: Int,
+                                    probeBits: Int = 0): DataFrame = {
+    val numBands = numPlanes / bandBits
+    if (probeBits <= 0) {
+      val code = lshCodeUdf(numPlanes)
+      df.select(col(idCol).as(outIdCol), code(col(vecCol)).as("code"))
+        .select(col(outIdCol),
+          explode(array((0 until numBands).map(bnd =>
+            struct(lit(bnd).as("band"),
+              shiftright(col("code"), bnd * bandBits)
+                .bitwiseAND(lit((1L << bandBits) - 1)).as("bandVal"))): _*)).as("bk"))
+        .select(col(outIdCol), col("bk.band"), col("bk.bandVal"))
+    } else {
+      val probes = lshProbesUdf(numPlanes, bandBits, probeBits)
+      df.select(col(idCol).as(outIdCol), explode(probes(col(vecCol))).as("bk"))
+        .select(col(outIdCol), col("bk._1").as("band"), col("bk._2").as("bandVal"))
+    }
+  }
+
+  /** Auto multi-probe policy (r5): probing turns on exactly when
+    * lshParamsFor had to REDUCE the band count below its 4-band default
+    * — the saturated regime (n ≳ 7×10^7 at the default target) where
+    * VERDICT r4 what's-wrong #1 showed recall collapsing by
+    * construction. 2 bands lose the most recall → probe hardest (2^8
+    * codes/band); 3 bands → a moderate 2^4; the unsaturated 4-band
+    * geometry keeps the exact-code behavior (and the r4 oracles).
+    */
+  private[pipeline] def autoProbeBits(numBands: Int, bandBits: Int): Int =
+    if (numBands <= 2) math.min(8, bandBits)
+    else if (numBands == 3) math.min(4, bandBits)
+    else 0
+
   /** Scale-aware sign-LSH sizing (VERDICT r1; saturation fix r4):
     * bandBits chosen so an AVERAGE band bucket over n corpus rows holds
     * ≈ targetBucket candidates (n / 2^bandBits ≤ target — the per-query
@@ -154,8 +279,9 @@ object Similarity {
     val bands = math.max(1, math.min(numBands, 63 / bandBits))
     if (bands < numBands)
       log.warn(s"lshParamsFor(n=$n): $numBands bands of $bandBits bits " +
-        s"exceed the 63-bit code — using $bands bands (recall lever: " +
-        "coarser targetBucket or neighbor-code probing)")
+        s"exceed the 63-bit code — using $bands bands (recall levers: " +
+        "coarser targetBucket, or multi-probe — lshCosineTopK enables " +
+        "query-directed probing automatically in this regime)")
     (bands * bandBits, bandBits)
   }
 
@@ -179,9 +305,20 @@ object Similarity {
     require(n > 0, "IVF over an empty corpus")
     val sqrtN = math.max(4L, math.round(math.sqrt(n.toDouble)))
     val nl = math.min(n, math.min(sampleCap.toLong, sqrtN)).toInt
-    val np = math.min(nl, math.max(2, nl / 4))
-    (nl, np)
+    (nl, ivfNprobeFor(nl, 0))
   }
+
+  /** Default probe count for an EFFECTIVE list count (ADVICE r4 #2):
+    * derived from the list count actually in use — nl/4, floored at 2 —
+    * so an explicit numLists gets a probe count that tracks ITS
+    * geometry, not the derived default's (the r4 code probed
+    * derived-nl/4 lists regardless, silently shifting recall/cost for
+    * explicit-numLists callers: numLists=8 over 1M rows probed all 8,
+    * numLists=10000 probed 250). An explicit request is clamped to nl.
+    */
+  def ivfNprobeFor(numLists: Int, requested: Int): Int =
+    if (requested > 0) math.min(requested, numLists)
+    else math.min(numLists, math.max(2, numLists / 4))
 
   // ---- IVF (inverted-file) ANN — the second scale path (r3) ------------
 
@@ -342,13 +479,27 @@ object Similarity {
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                     numLists: Int = 0, nprobe: Int = 0, corpusCount: Long = -1L,
                     iters: Int = 10, sampleCap: Int = 65536,
+                    flatScanThreshold: Int = 2048,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = if (corpusCount >= 0) corpusCount else corpus.count()
     // derived geometry respects the trainer's sample cap (ivfParamsFor;
     // the old √n-only default threw past n = sampleCap²)
-    val (dnl, dnp) = ivfParamsFor(n, sampleCap)
+    val (dnl, _) = ivfParamsFor(n, sampleCap)
+    // Derived-default dispatch (VERDICT r4 next-round #4): past the
+    // flat-scan threshold the default no longer warns-and-proceeds into
+    // the known-bad O(K·d)-per-row regime (measured 54 s flat vs 6 s
+    // two-level at 10M×64f/32c) — it delegates to the two-level
+    // quantizer. An EXPLICIT numLists still pins the flat path (with
+    // the warning), so flat-vs-two-level comparisons stay runnable.
+    if (numLists <= 0 && nprobe <= 0 && dnl > flatScanThreshold) {
+      log.info(s"ivfCosineTopK: derived numLists $dnl exceeds the " +
+        "flat-scan threshold (2048) — dispatching to ivfTwoLevelTopK")
+      return ivfTwoLevelTopK(corpus, queries, k, corpusCount = n,
+        iters = iters, sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
+    }
     val nl = if (numLists > 0) numLists else dnl
-    val np = if (nprobe > 0) math.min(nprobe, nl) else math.min(dnp, nl)
+    // probe count tracks the EFFECTIVE list count (ADVICE r4 #2)
+    val np = ivfNprobeFor(nl, nprobe)
     if (nl > 2048)
       log.warn(s"ivfCosineTopK: flat quantizer with $nl cells scans " +
         s"$nl centroids per row — measured 54 s vs two-level 6 s at " +
@@ -482,32 +633,47 @@ object Similarity {
     * column-pruned job; pass `corpusCount` when the caller already
     * knows it (a catalog rowcount at 10^12 scale), or explicit
     * numPlanes+bandBits to pin both.
+    *
+    * Multi-probe (r5, VERDICT r4 next-round #1): probeBits = -1 (auto)
+    * enables query-directed probing exactly when the DERIVED geometry
+    * had to reduce the band count (the saturated n ≳ 7×10^7 regime
+    * where exact-code recall collapses — autoProbeBits); 0 disables,
+    * > 0 pins the probe width. Probing expands only the QUERY band
+    * rows (×2^probeBits) — corpus-side cost is unchanged.
+    *
+    * Skew defense (ADVICE r4 #5): corpus band buckets above
+    * maxBucketSize are dropped from candidate generation with CapStats
+    * accounting (op "ann_lsh_cosine") — a saturated band value on a
+    * clustered corpus now degrades recall LOUDLY instead of growing
+    * the candidate broadcast toward the driver limit.
     */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                     numPlanes: Int = 0, bandBits: Int = 0,
-                    corpusCount: Long = -1L,
+                    corpusCount: Long = -1L, probeBits: Int = -1,
+                    maxBucketSize: Long = 10000,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val derived = !(numPlanes > 0 && bandBits > 0)
     val (np, bb) =
-      if (numPlanes > 0 && bandBits > 0) (numPlanes, bandBits)
+      if (!derived) (numPlanes, bandBits)
       else lshParamsFor(if (corpusCount >= 0) corpusCount else corpus.count())
     val numBands = np / bb
-    val code = lshCodeUdf(np)
+    val pb =
+      if (probeBits >= 0) math.min(probeBits, bb)
+      else if (derived) autoProbeBits(numBands, bb)
+      else 0
+    if (pb > 0)
+      log.info(s"lshCosineTopK: multi-probe ON — $numBands bands of $bb " +
+        s"bits, 2^$pb codes probed per band per query")
     // banding carries IDS ONLY (r4): exploding numBands rows per doc
     // with the vector attached materialized numBands copies of every
     // embedding through the join — at 10^6×64f that is the whole corpus
     // ×4 in flight. Vectors are re-attached to the (small) deduplicated
     // candidate set afterwards, the same shape embeddingCosinePairsLsh
     // uses. Measured at 1M vectors/32c: 18.0 s → re-attach shape below.
-    def banded(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), code(col(vecCol)).as("code"))
-        .select(col(id),
-          explode(array((0 until numBands).map(bnd =>
-            struct(lit(bnd).as("band"),
-              shiftright(col("code"), bnd * bb)
-                .bitwiseAND(lit((1L << bb) - 1)).as("bandVal"))): _*)).as("bk"))
-        .select(col(id), col("bk.band"), col("bk.bandVal"))
-    val qb = broadcast(banded(queries, "query_id"))
-    val cands = qb.join(banded(corpus, "neighbor_id"), Seq("band", "bandVal"))
+    val qb = broadcast(bandedFrame(queries, "query_id", idCol, vecCol, np, bb, pb))
+    val cb = Dedup.coolBuckets(bandedFrame(corpus, "neighbor_id", idCol, vecCol, np, bb),
+      "neighbor_id", Seq("band", "bandVal"), maxBucketSize, "ann_lsh_cosine")
+    val cands = qb.join(cb, Seq("band", "bandVal"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()

@@ -462,6 +462,166 @@ class PipelineSpec extends SparkFunSuite {
     assert(recall > 0.2, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  // Planted-neighbor fixture for the multi-probe recall property: 16
+  // query vectors, each with 5 near-duplicates at cosine ≈ 0.97 (base +
+  // 25% relative noise), plus 400 unrelated background vectors — every
+  // query's brute-force top-5 IS its planted set. Pure function of ids.
+  private def plantedNeighbors = {
+    import spark.implicits._
+    import lucy.LucySpec
+    val dim = 32
+    def comp(seed: Long, d: Int) = LucySpec.unitDouble(LucySpec.rnd(seed, d)) * 2.0 - 1.0
+    def base(q: Long) = Array.tabulate(dim)(d => comp(0xBA5E0000L + q, d))
+    val rows =
+      (0L until 16L).map(q => (q, base(q).map(_.toFloat))) ++
+        (for (q <- 0L until 16L; j <- 0 until 5) yield {
+          val b = base(q)
+          val v = Array.tabulate(dim)(d =>
+            (b(d) + 0.25 * comp(0x1015E000L + q * 100 + j, d)).toFloat)
+          (1000L + q * 10 + j, v)
+        }) ++
+        (0L until 400L).map(i => (5000L + i, base(100 + i).map(_.toFloat)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("multi-probe LSH recovers recall under the forced n=10^12 geometry (r5)") {
+    import org.apache.spark.sql.functions.col
+    val emb = plantedNeighbors
+    val queries = emb.filter(col("vec_id") < 16)
+    val bruteTop = Similarity.bruteCosineTopK(emb, queries, k = 5)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // sanity: the planted set is the true top-5
+    (0L until 16L).foreach(q =>
+      assert(bruteTop(q) === (0 until 5).map(j => 1000L + q * 10 + j).toSet,
+        s"query $q top-5 must be its planted neighbors"))
+    // the n = 10^12 derived geometry: 2 bands of 30 bits
+    // (lshParamsFor(1e12) === (60, 30) — pinned above)
+    def recallAt(pb: Int): Double = {
+      val got = Similarity.lshCosineTopK(emb, queries, k = 5,
+        numPlanes = 60, bandBits = 30, probeBits = pb)
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      bruteTop.map { case (q, top) =>
+        got.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }.sum / bruteTop.size
+    }
+    val exact = recallAt(0)
+    val probed = recallAt(8)
+    // VERDICT r4 next-round #1's acceptance: <0.3 collapses, >0.7 recovers
+    assert(exact < 0.3, s"exact-code recall $exact should collapse at 2×30-bit geometry")
+    assert(probed > 0.7, s"multi-probe recall $probed must recover")
+    assert(probed > exact, "probing can only add candidates")
+    // precision stays 1: every probed hit carries the exact cosine
+    val bruteAll = Similarity.bruteCosineTopK(emb, queries, k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Similarity.lshCosineTopK(emb, queries, k = 5, numPlanes = 60, bandBits = 30,
+      probeBits = 8).collect().foreach { r =>
+      bruteAll.get((r.getLong(0), r.getLong(1))).foreach(exactCos =>
+        assert(math.abs(r.getDouble(2) - exactCos) < 1e-12))
+    }
+    // probeBits=0 pins the pre-r5 exact-code behavior; auto (-1) under
+    // an EXPLICIT geometry also stays exact — derived small-n defaults
+    // are covered by the scale-factor test above (4 bands → auto off)
+    val auto = Similarity.lshCosineTopK(emb, queries, k = 5,
+      numPlanes = 60, bandBits = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Similarity.lshCosineTopK(emb, queries, k = 5,
+      numPlanes = 60, bandBits = 30, probeBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === pinned, "explicit geometry keeps probing off unless requested")
+  }
+
+  test("pairs-path multi-probe is a superset lever; ANN corpus cap is accounted (r5)") {
+    import org.apache.spark.sql.functions.col
+    val emb = plantedNeighbors
+    // dedup pairs under the saturated geometry: probing (opt-in on the
+    // pairs path) must find at least the exact-code pairs, all true
+    val exactPairs = Dedup.embeddingCosinePairsLsh(emb, threshold = 0.9,
+      numPlanes = 60, bandBits = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probedPairs = Dedup.embeddingCosinePairsLsh(emb, threshold = 0.9,
+      numPlanes = 60, bandBits = 30, probeBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(probedPairs), "probing can only add pairs")
+    assert(probedPairs.size > exactPairs.size,
+      s"probing must surface extra true pairs (exact ${exactPairs.size})")
+    // ANN corpus-side hot-bucket cap (ADVICE r4 #5): cap 1 drops every
+    // shared bucket — no candidates — and the accounting says so
+    val capped = Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 4),
+      k = 5, maxBucketSize = 1).collect()
+    assert(capped.isEmpty, "bucket cap 1 admits no candidates")
+    val stats = CapStats.last("ann_lsh_cosine").get
+    assert(stats.droppedBuckets > 0L, "engaged ANN cap must be accounted")
+    // default cap does not engage on this corpus: zero drops, results flow
+    assert(Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 4), k = 5)
+      .collect().nonEmpty)
+    assert(CapStats.last("ann_lsh_cosine").get.droppedBuckets === 0L)
+  }
+
+  test("derived flat IVF dispatches to two-level past the scan threshold (r5)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    // derived numLists for 500 rows is 22; a lowered flatScanThreshold
+    // (the parameter that defaults to the measured-bad 2048 regime)
+    // forces the dispatch condition at spec scale with HONEST sampling
+    // — the two-level path must take over and return precision-1 rows
+    val got = Similarity.ivfCosineTopK(emb, queries, k = 5,
+      corpusCount = 500L, flatScanThreshold = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val brute = Similarity.bruteCosineTopK(emb, queries, k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (q, nb, c) =>
+      brute.get((q, nb)).foreach(exact => assert(math.abs(c - exact) < 1e-12)) }
+    // proof of delegation: identical (deterministic) to calling the
+    // two-level path directly with the same derived geometry
+    val direct = Similarity.ivfTwoLevelTopK(emb, queries, k = 5, corpusCount = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === direct.toSeq, "dispatch must equal the two-level path")
+    // explicit numLists pins the flat path (comparisons stay runnable)
+    val flat = Similarity.ivfCosineTopK(emb, queries, k = 5, numLists = 8,
+      corpusCount = 500L).collect()
+    assert(flat.nonEmpty)
+    // probe derivation tracks the EFFECTIVE list count (ADVICE r4 #2)
+    assert(Similarity.ivfNprobeFor(8, 0) === 2)      // nl/4 floored at 2
+    assert(Similarity.ivfNprobeFor(10000, 0) === 2500)
+    assert(Similarity.ivfNprobeFor(3, 0) === 2)
+    assert(Similarity.ivfNprobeFor(1, 0) === 1)      // never exceeds nl
+    assert(Similarity.ivfNprobeFor(8, 100) === 8)    // explicit clamped to nl
+    assert(Similarity.ivfNprobeFor(8, 3) === 3)
+  }
+
+  test("near-dup cluster propagation non-convergence is loud (ADVICE r4 #1)") {
+    import spark.implicits._
+    // a 31-node chain has diameter 30: 3 rounds cannot converge
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    Dedup.nearDupClusters(chain, maxIters = 3, localThreshold = 0L).collect()
+    val unconverged = CapStats.last("neardup_clusters_unconverged").get
+    assert(unconverged.droppedBuckets > 0L,
+      "exiting at maxIters with labels changing must be accounted")
+    // with enough rounds the same graph converges — and the record says 0
+    val done = Dedup.nearDupClusters(chain, maxIters = 50, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(done.values.toSet === Set(0L), "chain collapses to min id")
+    assert(CapStats.last("neardup_clusters_unconverged").get.droppedBuckets === 0L)
+  }
+
+  test("releaseCaches drops every dedup-persisted frame and only those (ADVICE r4 #4)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.releaseCaches(blocking = true) // drain anything earlier tests persisted
+    // compare RDD-id SETS, not counts: the ContextCleaner may concurrently
+    // drop older unreferenced cache entries from other suites
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    Dedup.minhashLshCandidates(docs).collect()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "the ops must have persisted sketch/bucket frames")
+    Dedup.releaseCaches(blocking = true)
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet.intersect(added)
+    assert(remaining.isEmpty,
+      s"release must unpersist what the ops persisted; still cached: $remaining")
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub decode") {
     val feats = Multimodal.extractFeatures(Multimodal.withPayload(docs)).collect()
     assert(feats.length === 6)

@@ -37,6 +37,18 @@ def spark_xxhash64_long(x):
     return xxh64((x & ((1 << 64) - 1)).to_bytes(8, "little"), SEED)
 
 
+def sample_selected(vid, modulus):
+    # Replicates the engine's pmod(xxhash64(id), modulus) == 0 exactly
+    # (ADVICE r4 #3): Spark's xxhash64 is a SIGNED 64-bit long and pmod
+    # is the non-negative remainder of that signed value — the raw
+    # unsigned `% modulus` diverges whenever modulus > 1 (latent at the
+    # current SFs, where every corpus has <= 65536 vectors and
+    # modulus == 1; real for any larger regeneration).
+    h = spark_xxhash64_long(vid)
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return ((signed % modulus) + modulus) % modulus == 0
+
+
 def normalize(v):
     n = 0.0
     for x in v:
@@ -101,7 +113,7 @@ def main():
         nl, np_ = ivf_params_for(n)
         modulus = max(1, n // 65536)
         sampled = [normalize(v) for vid, v in sorted(vecs)
-                   if spark_xxhash64_long(vid) % modulus == 0][:65536]
+                   if sample_selected(vid, modulus)][:65536]
         centroids = train(sampled, nl)
         byid = dict(vecs)
         norms = {vid: norm_of(v) for vid, v in vecs}
@@ -160,7 +172,7 @@ def two_level(sfdirs, outpath):
         k1, k2, p1, p2 = ivf2_params_for(n)
         modulus = max(1, n // 65536)
         sampled = [normalize(v) for vid, v in sorted(vecs)
-                   if spark_xxhash64_long(vid) % modulus == 0][:65536]
+                   if sample_selected(vid, modulus)][:65536]
         coarse = train(sampled, k1)
         residuals = [normalize(subtract(v, coarse[nearest(v, coarse)])) for v in sampled]
         rescode = train(residuals, k2)
