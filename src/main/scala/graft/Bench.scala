@@ -192,8 +192,19 @@ object Bench {
         Similarity.ivfTwoLevelTopK(vecs, queries, k = 10, corpusCount = annN,
           sampleCap = 16384, iters = 2).collect()
       }
+      // optional forced-probe variant (SPARK_GRAFT_ANN_PROBE=bits): the
+      // multi-probe recall lever measured at bench scale — auto probing
+      // only engages at reduced band counts, so this pins it ON to show
+      // the recall/cost trade against the same derived geometry
+      val probeRecall = sys.env.get("SPARK_GRAFT_ANN_PROBE").map(_.toInt).map { pbits =>
+        val rows = timed("ann_lsh_probe") {
+          Similarity.lshCosineTopK(vecs, queries, k = 10, corpusCount = annN,
+            probeBits = pbits).collect()
+        }
+        s""""lsh_probe$pbits":${num("%.3f", recallOf(rows))},"""
+      }.getOrElse("")
       annRecall = s""""ann_recall":{"ivf":${num("%.3f", recallOf(ivfRows))},""" +
-        s""""lsh":${num("%.3f", recallOf(lshRows))},""" +
+        s""""lsh":${num("%.3f", recallOf(lshRows))},$probeRecall""" +
         s""""ivf2":${num("%.3f", recallOf(ivf2Rows))}},"""
       vecs.unpersist()
     }
