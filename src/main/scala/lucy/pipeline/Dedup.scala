@@ -149,19 +149,62 @@ object Dedup {
     * drop count and the semi-join share one aggregation instead of
     * recomputing the groupBy.
     */
+  /** Hot buckets are RARE by construction at any sane cap (a bucket
+    * must exceed `cap` members to qualify), so the exclusion is a
+    * BROADCAST ANTI-JOIN against the collected hot keys whenever the
+    * hot set is driver-small — one pass over the banded frame, no
+    * persisted bucket-size table, no second shuffle (r5: reclaimed the
+    * +0.7 s the cap initially cost ann_lsh_1m). The semi-join against
+    * the full ≤cap key set remains as the fallback for degenerate caps
+    * (e.g. cap = 1 in tests, where EVERY bucket is hot and the "rare"
+    * premise inverts). The decision reads the drop stats the method
+    * collects anyway.
+    */
+  private val HotBroadcastLimit = 100000
+
   private[pipeline] def coolBuckets(banded: DataFrame, idCol: String, keys: Seq[String],
                                     cap: Long, op: String): DataFrame = {
-    val sizes = persistTracked(banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz")))
-    val hot = sizes.filter(col("bsz") > cap)
-      .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)),
-        // Column `/` is double division — keep the pair bound integral
-        // by summing bsz·(bsz−1) (always even) and halving driver-side
-        coalesce(sum(col("bsz") * (col("bsz") - 1)), lit(0L)))
-      .collect()(0)
-    CapStats.record(op, hot.getLong(0), hot.getLong(1), hot.getLong(2) / 2)
-    banded.join(sizes.filter(col("bsz") <= cap).select(keys.map(col): _*),
-        keys, "left_semi")
-      .select((idCol +: keys).map(col): _*) // USING join fronts keys — re-fix order
+    val spark = banded.sparkSession
+    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
+    // ONE aggregation job collects the (bounded) hot rows; stats derive
+    // driver-side from them, so the common path never shuffles the full
+    // bucket-size table a second time
+    val hotRows = sizes.filter(col("bsz") > cap).limit(HotBroadcastLimit + 1).collect()
+    if (hotRows.length <= HotBroadcastLimit) {
+      val bszIdx = keys.length
+      val droppedRows = hotRows.iterator.map(_.getLong(bszIdx)).sum
+      // bsz·(bsz−1)/2 summed driver-side (each term even before halving)
+      val pairsBound = hotRows.iterator.map { r =>
+        val b = r.getLong(bszIdx); b * (b - 1) / 2
+      }.sum
+      CapStats.record(op, hotRows.length.toLong, droppedRows, pairsBound)
+      if (hotRows.isEmpty) {
+        banded.select((idCol +: keys).map(col): _*) // nothing to drop
+      } else {
+        val keySchema = org.apache.spark.sql.types.StructType(sizes.schema.fields.dropRight(1))
+        val keyRows = hotRows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+        val hotKeys = spark.createDataFrame(
+          java.util.Arrays.asList(keyRows: _*), keySchema)
+        banded.join(broadcast(hotKeys), keys, "left_anti")
+          .select((idCol +: keys).map(col): _*)
+      }
+    } else {
+      // degenerate regime (cap so low that "hot is rare" inverts):
+      // recompute exact stats and fall back to the semi-join against
+      // the persisted ≤cap key set
+      val sizesP = persistTracked(sizes)
+      val hot = sizesP.filter(col("bsz") > cap)
+        .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L)),
+          // Column `/` is double division — keep the pair bound integral
+          // by summing bsz·(bsz−1) (always even) and halving driver-side
+          coalesce(sum(col("bsz") * (col("bsz") - 1)), lit(0L)))
+        .collect()(0)
+      CapStats.record(op, hot.getLong(0), hot.getLong(1), hot.getLong(2) / 2)
+      banded.join(sizesP.filter(col("bsz") <= cap).select(keys.map(col): _*),
+          keys, "left_semi")
+        .select((idCol +: keys).map(col): _*) // USING join fronts keys — re-fix order
+    }
   }
 
   /** Scale/threshold-aware banding (VERDICT r1): rowsPerBand r (with

@@ -671,6 +671,12 @@ object Similarity {
     // candidate set afterwards, the same shape embeddingCosinePairsLsh
     // uses. Measured at 1M vectors/32c: 18.0 s → re-attach shape below.
     val qb = broadcast(bandedFrame(queries, "query_id", idCol, vecCol, np, bb, pb))
+    // the corpus band frame feeds the cap's bucket-count job and the
+    // candidate join; it is deliberately NOT persisted — the code pass
+    // is numPlanes dots per row (cheap next to caching corpus×bands
+    // rows), and at 10^12 rows a cache of the band table is the wrong
+    // trade (measured at 1M: persisting was ~0.5 s SLOWER than the
+    // recompute)
     val cb = Dedup.coolBuckets(bandedFrame(corpus, "neighbor_id", idCol, vecCol, np, bb),
       "neighbor_id", Seq("band", "bandVal"), maxBucketSize, "ann_lsh_cosine")
     val cands = qb.join(cb, Seq("band", "bandVal"))
