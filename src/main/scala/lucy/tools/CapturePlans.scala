@@ -155,6 +155,19 @@ object CapturePlans {
       corpusCount = 20000, sampleCap = 4096, iters = 2)
     sb.append("\n=====PLAN8: two-level IVF ANN (broadcast multi-probe join, corpus unshuffled)\n")
     sb.append(planOf(p8))
+
+    // PLAN9 (r5): multi-probe sign-LSH under the saturated n=10^12
+    // geometry. What to read for: the probe expansion lives entirely in
+    // the BROADCAST side (the query band rows — Generate over the probe
+    // UDF feeding a BroadcastExchange); the corpus band frame is the
+    // same unshuffled narrow map as PLAN5, so probing costs ×2^probeBits
+    // broadcast rows, never a corpus pass. The hot-bucket cap, when
+    // engaged, appears as a BroadcastHashJoin LeftAnti against the
+    // collected hot keys — also broadcast-side, also corpus-unshuffled.
+    val p9 = lucy.pipeline.Similarity.lshCosineTopK(vecs, vq, k = 5,
+      numPlanes = 60, bandBits = 30, probeBits = 8)
+    sb.append("\n=====PLAN9: multi-probe sign-LSH (probe expansion broadcast-side; corpus unshuffled)\n")
+    sb.append(planOf(p9))
     sb.append("```\n")
 
     Files.writeString(Paths.get(out), sb.toString)
