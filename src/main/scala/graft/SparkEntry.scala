@@ -501,15 +501,9 @@ object SparkEntry {
     // one window rank. The policy a real curation pipeline applies
     // after clustering.
     "dedup_keep_best" -> ((s, dir) => {
-      val cl = Harness.clusters05(s, dir)
       val q = TextAnalysis.qualityScore(Harness.documents(s, dir))
         .select(col("doc_id"), round(col("quality"), 9).as("quality"))
-      val w = Window.partitionBy(col("cluster"))
-        .orderBy(col("quality").desc, col("doc_id").asc)
-      cl.join(q, cl("id") === q("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cluster"), col("doc_id"), col("quality"))
+      Dedup.keepBest(Harness.clusters05(s, dir), q)
         .orderBy(col("cluster"))
     }),
 

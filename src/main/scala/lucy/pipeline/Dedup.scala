@@ -467,6 +467,26 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Canonical SELECTION per near-dup cluster — the policy step a
+    * curation pipeline applies after [[nearDupClusters]]: keep the
+    * highest-scoring member of each cluster (ties to the lowest id, so
+    * the choice is deterministic). `clusters` is the (id, cluster)
+    * assignment; `scores` carries (idCol, scoreCol) — typically
+    * TextAnalysis.qualityScore output. One window rank per cluster;
+    * shuffles (id, cluster, score) rows only. Promoted from the
+    * harness composition to the library surface in r5 (the
+    * dedup_keep_best oracle entry now routes through this method).
+    */
+  def keepBest(clusters: DataFrame, scores: DataFrame,
+               idCol: String = "doc_id", scoreCol: String = "quality"): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(scores, clusters("id") === scores(idCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col(idCol), col(scoreCol))
+  }
+
   /** SimHash core (shared with TextAnalysis.simhashUdf). */
   def simhash64(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)

@@ -606,6 +606,18 @@ class PipelineSpec extends SparkFunSuite {
     assert(CapStats.last("neardup_clusters_unconverged").get.droppedBuckets === 0L)
   }
 
+  test("keepBest selects the top-scored member per cluster, ties to lowest id (r5)") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBest(clusters, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cluster 1: 2 and 3 tie at 0.9 -> lowest id 2; cluster 10: tie -> 10
+    assert(got === Set((1L, 2L, 0.9), (10L, 10L, 0.1)))
+  }
+
   test("releaseCaches drops every dedup-persisted frame and only those (ADVICE r4 #4)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Dedup.releaseCaches(blocking = true) // drain anything earlier tests persisted
