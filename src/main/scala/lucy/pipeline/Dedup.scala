@@ -33,26 +33,31 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  // Every frame this object persists is tracked here so callers can
-  // drop per-corpus caches without spark.catalog.clearCache() nuking
-  // unrelated entries (ADVICE r4 #4).
-  private val persistedFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // Everything this object persists — DataFrames AND the label RDDs the
+  // cluster loop materializes — is tracked as a release thunk so
+  // callers can drop per-corpus caches without
+  // spark.catalog.clearCache() nuking unrelated entries (ADVICE r4 #4).
+  private val releaseThunks =
+    new java.util.concurrent.ConcurrentLinkedQueue[Boolean => Unit]()
 
   private[pipeline] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(p)
+    releaseThunks.add(b => { p.unpersist(b); () })
     p
   }
 
-  /** Unpersist every frame the dedup/ANN-LSH operators have persisted
-    * (sketches, signatures, bucket-size tables) since the last release.
+  private[pipeline] def trackRelease(f: Boolean => Unit): Unit =
+    releaseThunks.add(f)
+
+  /** Unpersist everything the dedup/ANN-LSH operators have cached
+    * (sketches, signatures, bucket-size tables, the final cluster-label
+    * snapshot) since the last release.
     */
   def releaseCaches(blocking: Boolean = false): Unit = {
-    var df = persistedFrames.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = persistedFrames.poll()
+    var f = releaseThunks.poll()
+    while (f != null) {
+      f(blocking)
+      f = releaseThunks.poll()
     }
   }
 
@@ -424,8 +429,13 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
       }
-      val spark = pairs.sparkSession
-      import spark.implicits._
+      // the local path is always exact — record 0 pending so the ledger
+      // never re-serializes a stale non-convergence from a PREVIOUS
+      // distributed run, and the field appears (as 0) in soak records
+      // whose pair graphs took this path
+      CapStats.recordNonConvergence("neardup_clusters_unconverged", 0L, maxIters)
+      val sparkLocal = pairs.sparkSession
+      import sparkLocal.implicits._
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
     }
     val edges = p.select(col("a").as("x"), col("b").as("y"))
@@ -435,26 +445,43 @@ object Dedup {
     // neighbor join and the union, so without truncation the logical
     // plan DOUBLES per round — exponential in iterations; a diameter-30
     // graph overflowed plan stringification long before any data moved.
-    // localCheckpoint materializes the round's (id, label) rows and
-    // replaces the plan with a scan of them: O(1) plan per round, the
-    // only shape that survives deep graphs. (A driver with a reliable
+    // Each round's (id, label) rows are materialized into a persisted
+    // RDD and re-wrapped as a LogicalRDD scan: O(1) plan per round, and
+    // — unlike localCheckpoint, whose Dataset.unpersist is a CacheManager
+    // no-op that would leave up to maxIters stale snapshots in the
+    // BlockManager — the previous round's RDD is EXPLICITLY freed, so
+    // exactly two rounds are ever live. (A driver with a reliable
     // checkpoint dir configured could use checkpoint() for fault
     // tolerance; the rows are (long, long) pairs either way.)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(MEMORY_AND_DISK)
+      rdd.count() // eager, so the previous round can be freed immediately
+      (spark.createDataFrame(rdd, labelSchema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("x").as("id")).distinct().withColumn("label", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbr = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .select(col("x").as("id"), col("label"))
-      val next = labels.union(nbr).groupBy(col("id"))
-        .agg(min(col("label")).as("label")).localCheckpoint(true)
+      val (next, nextRdd) = materialize(
+        labels.union(nbr).groupBy(col("id")).agg(min(col("label")).as("label")))
       changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
+      labelsRdd.unpersist()
       labels = next
+      labelsRdd = nextRdd
       it += 1
     }
+    // the returned plan scans the final snapshot — released via
+    // Dedup.releaseCaches once the caller is done with it
+    val finalRdd = labelsRdd
+    trackRelease(b => { finalRdd.unpersist(b); () })
     // Loud non-convergence (ADVICE r4 #1): exiting at maxIters with
     // labels still changing means components whose diameter exceeds
     // maxIters carry NON-CANONICAL labels — a correctness-affecting

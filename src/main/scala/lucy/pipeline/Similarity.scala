@@ -142,8 +142,16 @@ object Similarity {
     * Same hyperplane matrix and dot-product loop as lshCodeUdf, so the
     * mask-0 code is bit-identical to the exact path.
     */
+  /** Upper bound on probeBits: 2^16 codes per band is already far past
+    * any sensible recall/cost trade, and larger values would overflow
+    * the per-row output array (numBands << pb) long before that.
+    */
+  val MaxProbeBits = 16
+
   private[pipeline] def lshProbesUdf(numPlanes: Int, bandBits: Int,
                                      probeBits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(probeBits >= 1 && probeBits <= MaxProbeBits,
+      s"probeBits must be in [1, $MaxProbeBits], got $probeBits")
     val planeCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
     val numBands = numPlanes / bandBits
     val pb = math.min(probeBits, bandBits)
@@ -493,7 +501,7 @@ object Similarity {
     // the warning), so flat-vs-two-level comparisons stay runnable.
     if (numLists <= 0 && nprobe <= 0 && dnl > flatScanThreshold) {
       log.info(s"ivfCosineTopK: derived numLists $dnl exceeds the " +
-        "flat-scan threshold (2048) — dispatching to ivfTwoLevelTopK")
+        s"flat-scan threshold ($flatScanThreshold) — dispatching to ivfTwoLevelTopK")
       return ivfTwoLevelTopK(corpus, queries, k, corpusCount = n,
         iters = iters, sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
     }

@@ -16,6 +16,12 @@ run() {
     SPARK_GRAFT_CPUS=$cpus SPARK_GRAFT_BENCH_DOCS=$docs SPARK_GRAFT_PHASES=$phases "$@" \
     /opt/spark/bin/spark-submit --class graft.Bench --master "local[$cpus]" \
       --driver-memory 40g "$JAR" 2>/dev/null | grep '^{"metric"' | tail -1)
+  if [ -z "$json" ]; then
+    # a crashed rep must not write malformed JSONL or masquerade as done
+    echo "{\"tag\":\"$tag\",\"cpus\":$cpus,\"docs\":$docs,\"data\":null,\"error\":\"no bench output\"}" >> "$OUT"
+    echo "$(date +%T) FAILED $tag (no bench output)" >&2
+    return 1
+  fi
   echo "{\"tag\":\"$tag\",\"cpus\":$cpus,\"docs\":$docs,\"data\":$json}" >> "$OUT"
   echo "$(date +%T) done $tag"
 }
