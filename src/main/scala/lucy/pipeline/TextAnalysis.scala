@@ -28,23 +28,79 @@ object TextAnalysis {
   /** doc → (n_tokens, n_stopwords, stopword_ratio, avg_token_len).
     * Stopword ratio is the workhorse of both langId and quality.
     */
-  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // null text ≡ empty text (r4): without the coalesce, NULL propagates
-    // through size() into n_tokens, and Spark's null-ignoring least()
-    // then gave a NULL document len_score 1.0 — quality 0.4 for no
-    // content. The driver corpora carry no nulls; this is a library-
-    // boundary guard (PF4), pinned in EdgeCaseSpec.
-    val toks = tokensCol(coalesce(col(textCol), lit("")))
+  private val tokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** One fused pass computing (n_tokens, n_stop, Σ token length) —
+    * value-identical to the Column formulation below but ~12× faster at
+    * corpus scale (r5): the Column version evaluated the token split
+    * once per CONSUMING column, and the per-token stopword test was an
+    * interpreted HOF doing |stopwords| equality checks per token —
+    * measured 118 s for 1M×90-token docs in the curation soak vs ~9 s
+    * fused. Exact parity rules: `Pattern.split(lower, -1)` replicates
+    * SQL `split(lower(text), "[^a-z0-9]+")` (the form the DuckDB oracle
+    * mirrors); kept tokens are pure [a-z0-9] runs, so Java length ==
+    * SQL character length; the length sum stays a Long, divided as
+    * double — the same arithmetic as the old aggregate/cast chain.
+    */
+  private[pipeline] val tokenStatsUdf = udf((text: String) => {
+    val raw = if (text == null) "" else text
+    val lower = raw.toLowerCase(java.util.Locale.ROOT)
+    val parts = tokenSplit.split(lower, -1)
+    var n = 0
+    var stop = 0
+    var lenSum = 0L
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.nonEmpty && t.length <= LucySpec.maxTokenLen) {
+        n += 1
+        lenSum += t.length
+        if (LucySpec.stopwords.contains(t)) stop += 1
+      }
+      i += 1
+    }
+    // alnum-or-space census over the RAW text (field 4/5), replacing the
+    // qualityScore regexp_replace whose per-row cost dominated the 1M
+    // profile (~96 of 99 s): `length(regexp_replace(text,
+    // "[^a-zA-Z0-9 ]", ""))` == count of matching chars (all BMP
+    // single-units), and SQL length(text) == codepoint count — both
+    // reproduced exactly, so the ratio is bit-identical.
+    var alnum = 0
+    var j = 0
+    while (j < raw.length) {
+      val c = raw.charAt(j)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == ' ') alnum += 1
+      j += 1
+    }
+    (n, stop, lenSum, alnum, raw.codePointCount(0, raw.length))
+  })
+
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    tokenStatsWide(docs, textCol).drop("__alnum_cnt", "__alnum_len")
+
+  /** tokenStats plus the raw-text census columns qualityScore consumes
+    * (kept internal; one UDF evaluation feeds everything).
+    */
+  private def tokenStatsWide(docs: DataFrame, textCol: String): DataFrame = {
+    // null text ≡ empty text (r4): the UDF maps null to "" so NULL
+    // never propagates into n_tokens (PF4 guard, pinned in
+    // EdgeCaseSpec). __ts is a single projected column, so the UDF runs
+    // once per row (ScalaUDF is non-cheap — CollapseProject won't
+    // inline it into each consumer).
     docs
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_stop", size(filter(toks, t => t.isin(LucySpec.stopwords.toSeq: _*))))
+      .withColumn("__ts", tokenStatsUdf(col(textCol)))
+      .withColumn("n_tokens", col("__ts._1"))
+      .withColumn("n_stop", col("__ts._2"))
       .withColumn("stop_ratio",
         when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
       .withColumn("avg_token_len",
-        when(col("n_tokens") > 0,
-          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0, col("__ts._3").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
+      .withColumn("__alnum_cnt", col("__ts._4"))
+      .withColumn("__alnum_len", col("__ts._5"))
+      .drop("__ts")
   }
 
   /** Heuristic language ID: English-stopword density. A real deployment
@@ -65,12 +121,12 @@ object TextAnalysis {
     * formula.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokenStats(docs, textCol)
+    val t = tokenStatsWide(docs, textCol)
     t.withColumn("alnum_ratio",
-      when(coalesce(length(col(textCol)), lit(0)) > 0,
-        (length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")).cast("double")) /
-          length(col(textCol)))
+      when(col("__alnum_len") > 0,
+        col("__alnum_cnt").cast("double") / col("__alnum_len"))
         .otherwise(lit(0.0)))
+      .drop("__alnum_cnt", "__alnum_len")
       .withColumn("len_score",
         least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
       .withColumn("quality",
