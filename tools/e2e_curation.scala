@@ -9,7 +9,7 @@ def timed[T](name: String)(f: => T): T = {
   println(f"==T $name ${(System.nanoTime()-t0)/1e9}%.2f s"); r
 }
 
-val planted = 999996L
+val planted = sys.env.get("CURATION_DOCS").map(_.toLong).getOrElse(999996L) / 6 * 6
 val docs = timed("gen") {
   val d = NearDupGen.corpus(spark, planted, 20000L, 64)
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
