@@ -160,8 +160,13 @@ object XxHash64 {
   def hashUtf8(s: String, seed: Long): Long =
     hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
 
-  def hash(data: Array[Byte], seed: Long): Long = {
-    val len = data.length
+  def hash(data: Array[Byte], seed: Long): Long = hash(data, data.length, seed)
+
+  /** Hash of the first `len` bytes — lets hot loops reuse one scratch
+    * buffer instead of allocating a sized array per hash (the minhash
+    * signature pass, r5). Identical output to hash(data.take(len)).
+    */
+  def hash(data: Array[Byte], len: Int, seed: Long): Long = {
     var i = 0
     var h: Long = 0L
     if (len >= 32) {

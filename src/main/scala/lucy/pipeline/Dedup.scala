@@ -231,13 +231,47 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // "$p|" prefixes are pure ASCII, so UTF-8("$p|$s") == UTF-8("$p|")
+    // ++ UTF-8(s) — each shingle is encoded ONCE and the per-(perm,
+    // shingle) hash runs over a reused scratch buffer via the
+    // length-bounded XxHash64.hash, instead of a builder + string +
+    // encoder allocation per numPerms × |shingles| pair. Value-
+    // identical to hashUtf8(s"$p|$s") (the Python oracle's formula).
+    // Perspective (r5 measurement): the signature pass is ~0.5 s for
+    // 1M×90-token docs either way — minhashLshCandidates' wall is the
+    // banding/distinct/re-attach shuffles, not this map — so this is
+    // allocation hygiene for the narrow pass, not a headline win.
+    val prefixes = Array.tabulate(numPerms)(p =>
+      s"$p|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sigUdf = udf((text: String) => {
       val sh = LucySpec.tokenize(text).sliding(n).filter(_.length == n)
         .map(_.mkString(" ")).toArray.distinct
-      (0 until numPerms).map { p =>
-        if (sh.isEmpty) Long.MaxValue
-        else sh.iterator.map(s => XxHash64.hashUtf8(s"$p|$s", LucySpec.seed)).min
-      }.toArray
+      val out = new Array[Long](numPerms)
+      if (sh.isEmpty) {
+        java.util.Arrays.fill(out, Long.MaxValue)
+      } else {
+        val shBytes = sh.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var buf = new Array[Byte](128)
+        var p = 0
+        while (p < numPerms) {
+          val pre = prefixes(p)
+          var min = Long.MaxValue
+          var si = 0
+          while (si < shBytes.length) {
+            val sb = shBytes(si)
+            val tot = pre.length + sb.length
+            if (buf.length < tot) buf = new Array[Byte](math.max(tot, buf.length * 2))
+            System.arraycopy(pre, 0, buf, 0, pre.length)
+            System.arraycopy(sb, 0, buf, pre.length, sb.length)
+            val h = XxHash64.hash(buf, tot, LucySpec.seed)
+            if (h < min) min = h
+            si += 1
+          }
+          out(p) = min
+          p += 1
+        }
+      }
+      out
     })
     docs.select(col(idCol), sigUdf(col(textCol)).as("signature"))
   }
