@@ -207,6 +207,7 @@ object SparkEntry {
     */
   private val hashCsvPath = "/root/repo/tools/expected/hash_expectations.csv"
   private val annLshCsvPath = "/root/repo/tools/expected/ann_lsh_expectations.csv"
+  private val annLshProbeCsvPath = "/root/repo/tools/expected/ann_lsh_probe_expectations.csv"
   private val annIvfCsvPath = "/root/repo/tools/expected/ann_ivf_expectations.csv"
   private val annIvf2CsvPath = "/root/repo/tools/expected/ann_ivf2_expectations.csv"
   private val embLshCsvPath = "/root/repo/tools/expected/embedding_lsh_pairs.csv"
@@ -604,6 +605,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // multi-probe LSH under a hard oracle (VERDICT r5 next-round #1):
+    // at harness SFs the DERIVED geometry is unsaturated, so the r5
+    // multi-probe path never ran in an oracled entry. This entry PINS
+    // the saturated 2-band shape (20 planes / 10-bit bands — the
+    // band-count-reduced geometry lshParamsFor derives near n = 10^11+)
+    // with probeBits = 4; on these fixtures the exact-code candidate
+    // set nearly vanishes (7/9/54 candidates across the SFs) and the
+    // probed expansion is what produces the full 50-row result, so the
+    // margin-ranked bit selection and 2^pb mask expansion are what the
+    // oracle (tools/ann_expectations.py, same frozen splitmix planes)
+    // actually checks.
+    "ann_lsh_probe" -> ((s, dir) => {
+      val emb = Harness.embeddings(s, dir)
+      Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          numPlanes = 20, bandBits = 10, probeBits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN (r3): the second scale path — coarse-quantizer cells +
     // nprobe probing, corpus never shuffles (broadcast probe join).
     // rows-only like the LSH twin (k-means cells aren't SQL); the
@@ -940,6 +961,14 @@ object SparkEntry {
     "ann_lsh_cosine" ->
       s"""WITH emb AS (SELECT vec_id, $vecKeySql AS vkey FROM embeddings),
          |e AS (SELECT * FROM read_csv('$annLshCsvPath', header=true,
+         |  columns={'qkey': 'VARCHAR', 'nkey': 'VARCHAR', 'cosine': 'DOUBLE', 'rank': 'BIGINT'}))
+         |SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id, e.cosine, e.rank
+         |FROM e JOIN emb q ON e.qkey = q.vkey JOIN emb nb ON e.nkey = nb.vkey
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_probe" ->
+      s"""WITH emb AS (SELECT vec_id, $vecKeySql AS vkey FROM embeddings),
+         |e AS (SELECT * FROM read_csv('$annLshProbeCsvPath', header=true,
          |  columns={'qkey': 'VARCHAR', 'nkey': 'VARCHAR', 'cosine': 'DOUBLE', 'rank': 'BIGINT'}))
          |SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id, e.cosine, e.rank
          |FROM e JOIN emb q ON e.qkey = q.vkey JOIN emb nb ON e.nkey = nb.vkey

@@ -109,11 +109,55 @@ def band_map(vecs, planes, num_bands, bb):
     return out
 
 
+def dots_of(v, planes):
+    out = []
+    for p in planes:
+        s = 0.0
+        for i in range(len(v)):
+            s += v[i] * p[i]
+        out.append(s)
+    return out
+
+
+# Pinned saturated geometry for ann_lsh_probe (VERDICT r5 next-round
+# #1): 2 bands of 10 bits — the shape lshParamsFor derives only when
+# the 63-bit code word forces the band count down (the n >= ~10^11
+# regime), transplanted onto the sf corpora so the multi-probe path
+# runs under a hard oracle at every SF. Measured on the fixtures:
+# exact-code candidates 7/9/54 (10 queries) vs probed 168/198/788 —
+# the exact path is genuinely saturated and probing is what produces
+# the result set.
+PROBE_NP, PROBE_BB, PROBE_PB = 20, 10, 4
+
+
+def probe_bands(dots, num_bands, bb, pb):
+    """Replicates Similarity.lshProbesUdf: per band, the exact value
+    plus all 2^pb sign combinations over the pb smallest-|margin| bits
+    (ties to the lower bit index — the UDF's partial selection sort
+    selects exactly the sorted-by-(|margin|, index) prefix)."""
+    out = []
+    for b in range(num_bands):
+        base = b * bb
+        band_val = 0
+        for i in range(bb):
+            if dots[base + i] >= 0:
+                band_val |= 1 << i
+        order = sorted(range(bb), key=lambda i: (abs(dots[base + i]), i))[:pb]
+        for m in range(1 << pb):
+            f = band_val
+            for bit in range(pb):
+                if m & (1 << bit):
+                    f ^= 1 << order[bit]
+            out.append((b, f))
+    return out
+
+
 def main():
     sfdirs = sys.argv[1:] or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "expected")
     os.makedirs(outdir, exist_ok=True)
     ann_rows = []
+    probe_rows = []
     pair_rows = []
     for d in sfdirs:
         vecs = load(d)
@@ -144,6 +188,32 @@ def main():
             for rank, (cos, c) in enumerate(scored[:5], start=1):
                 ann_rows.append((keys[qid], keys[c], repr(cos), rank))
 
+        # ann_lsh_probe: same queries/k, PINNED saturated geometry
+        # (PROBE_NP, PROBE_BB), query side probed with PROBE_PB bits,
+        # corpus side exact codes — mirrors lshCosineTopK(numPlanes=20,
+        # bandBits=10, probeBits=4).
+        p_bands = PROBE_NP // PROBE_BB
+        p_planes = [[plane_component(h, dd) for dd in range(len(vecs[0][1]))]
+                    for h in range(PROBE_NP)]
+        p_mask = (1 << PROBE_BB) - 1
+        p_buckets = {}
+        for vid, v in vecs:
+            c = code_of(v, p_planes)
+            for b in range(p_bands):
+                p_buckets.setdefault((b, (c >> (b * PROBE_BB)) & p_mask), []).append(vid)
+        for qid in sorted(vid for vid, _ in vecs if vid < 10):
+            cands = set()
+            for bv in probe_bands(dots_of(byid[qid], p_planes),
+                                  p_bands, PROBE_BB, PROBE_PB):
+                cands.update(p_buckets.get(bv, ()))
+            cands.discard(qid)
+            scored = sorted(
+                ((dot_of(byid[qid], byid[c]) / (norms[qid] * norms[c]), c)
+                 for c in cands),
+                key=lambda t: (-t[0], t[1]))
+            for rank, (cos, c) in enumerate(scored[:5], start=1):
+                probe_rows.append((keys[qid], keys[c], repr(cos), rank))
+
         # dedup_embedding_lsh: pairs a < b sharing a band bucket,
         # cosine >= 0.4 (maxBucketSize 10000 never engages at these n)
         pairs = set()
@@ -162,11 +232,16 @@ def main():
         w = csv.writer(f)
         w.writerow(["qkey", "nkey", "cosine", "rank"])
         w.writerows(ann_rows)
+    with open(os.path.join(outdir, "ann_lsh_probe_expectations.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["qkey", "nkey", "cosine", "rank"])
+        w.writerows(probe_rows)
     with open(os.path.join(outdir, "embedding_lsh_pairs.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["akey", "bkey", "cosine"])
         w.writerows(pair_rows)
-    print(f"wrote {len(ann_rows)} ann rows, {len(pair_rows)} pair rows")
+    print(f"wrote {len(ann_rows)} ann rows, {len(probe_rows)} probe rows, "
+          f"{len(pair_rows)} pair rows")
 
 
 if __name__ == "__main__":
