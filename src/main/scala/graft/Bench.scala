@@ -294,6 +294,19 @@ object Bench {
         }
         val s = pairStats(p); p.unpersist(); s
       }
+      // wide-radius simhash (r6, Manku block tables): same corpus, the
+      // Hamming <= 6 regime the 4-chunk scheme cannot reach. 84 tables
+      // -> an 84x linear row multiplier instead of the old scheme's
+      // n^2/65536 within-bucket blow-up; the soak records whether the
+      // wider radius recovers recall at the planted mutation rate.
+      val (swTotal, swIntra) = {
+        val p = timed("dedup_soak_simhash_wide") {
+          val x = Dedup.simhashPairsWide(d, maxHamming = 6)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          x.count(); x
+        }
+        val s = pairStats(p); p.unpersist(); s
+      }
       val (ngTotal, ngIntra) = {
         val p = timed("dedup_soak_ngram") {
           val x = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5, maxShingleDf = 1000)
@@ -302,6 +315,10 @@ object Bench {
         }
         val s = pairStats(p); p.unpersist(); s
       }
+      // ADVICE r5 #3: clustering consumes the est_jaccard >= 0.5 subset,
+      // so record THAT set's recall/precision alongside the raw candidate
+      // numbers (which are now labeled for what they are).
+      val (mhfTotal, mhfIntra) = pairStats(mhPairs.filter(col("est_jaccard") >= 0.5))
       val nClusters = timed("dedup_soak_clusters") {
         Dedup.nearDupClusters(mhPairs.filter(col("est_jaccard") >= 0.5))
           .select(col("cluster")).distinct().count()
@@ -313,7 +330,13 @@ object Bench {
         s""""true_pairs":$truePairs,""" +
         s""""minhash_pairs":$mhTotal,"minhash_recall":${num("%.4f", mhIntra.toDouble / truePairs)},""" +
         s""""minhash_precision":${num("%.4f", if (mhTotal == 0) 0.0 else mhIntra.toDouble / mhTotal)},""" +
+        s""""minhash_filtered_pairs":$mhfTotal,""" +
+        s""""minhash_filtered_recall":${num("%.4f", mhfIntra.toDouble / truePairs)},""" +
+        s""""minhash_filtered_precision":${num("%.4f", if (mhfTotal == 0) 0.0 else mhfIntra.toDouble / mhfTotal)},""" +
         s""""simhash_pairs":$shTotal,"simhash_recall":${num("%.4f", shIntra.toDouble / truePairs)},""" +
+        s""""simhash_wide_pairs":$swTotal,""" +
+        s""""simhash_wide_recall":${num("%.4f", swIntra.toDouble / truePairs)},""" +
+        s""""simhash_wide_precision":${num("%.4f", if (swTotal == 0) 0.0 else swIntra.toDouble / swTotal)},""" +
         s""""ngram_pairs":$ngTotal,"ngram_recall":${num("%.4f", ngIntra.toDouble / truePairs)},""" +
         s""""ngram_precision":${num("%.4f", if (ngTotal == 0) 0.0 else ngIntra.toDouble / ngTotal)},""" +
         s""""clusters_found":$nClusters},"""

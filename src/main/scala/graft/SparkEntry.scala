@@ -540,6 +540,18 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a"), col("b"))),
 
+    // Wide-radius simhash (VERDICT r5 next-round #2, Manku WWW 2007
+    // block-combination tables): Hamming ≤ 6 — unreachable for the
+    // 4-chunk scheme (pigeonhole caps it at 3). Candidate generation
+    // has recall 1 by construction, so the oracle is the FULL ≤ 6 pair
+    // set from the Python simhash values — the pigeonhole guarantee is
+    // exactly what the row checks (145/163/13579 pairs across SFs vs
+    // 21/19/432 at radius 3).
+    "dedup_simhash_rotated" -> ((s, dir) =>
+      Dedup.simhashPairsWide(Harness.documents(s, dir), maxHamming = 6)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("a"), col("b"))),
+
     // VERDICT r3 #3 (no-silent-caps): the hot-chunk cap ENGAGED, under
     // an oracle that mirrors the capped candidate rule — plus a WARN
     // drop-count from CapStats in the driver log while this entry runs.
@@ -927,6 +939,14 @@ object SparkEntry {
          |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash_rotated" ->
+      s"""WITH $hashExpCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY a, b""".stripMargin,
 
     // capped twin: candidates need >= 1 shared 16-bit chunk whose bucket

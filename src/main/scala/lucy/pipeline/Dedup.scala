@@ -577,6 +577,13 @@ object Dedup {
     * clusters, which `exact` dedup owns), and the self-join carries
     * (chunkNo, chunk, id) only; sketches are re-attached after the
     * pair distinct.
+    *
+    * CONTRACT (r5 soak, BENCH/BASELINE.md): narrow radius (≤ 3) and
+    * ≤ ~10⁷ docs — the fixed 16-bit chunks make within-bucket pairing
+    * grow as n²/65536 beyond that (measured 3.2× wall at 2× docs).
+    * Past either bound use [[simhashPairsWide]] (wider radius AND
+    * wider keys) or minhash (threshold semantics, recall 0.997 at the
+    * soak's mutation rate).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Long = 10000,
                    idCol: String = "doc_id", textCol: String = "text",
@@ -597,6 +604,113 @@ object Dedup {
     val r = cool.toDF("b", "chunkNo", "chunk")
     val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
     l.join(r, Seq("chunkNo", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .join(withSig.toDF("a", "simA"), Seq("a"))
+      .join(withSig.toDF("b", "simB"), Seq("b"))
+      .withColumn("hamming", hamming(col("simA"), col("simB")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** All r-element combinations of (0 until m), lexicographic — the
+    * table layout below depends on this order being deterministic.
+    */
+  private[pipeline] def combinations(m: Int, r: Int): Array[Array[Int]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    val cur = new Array[Int](r)
+    def rec(start: Int, depth: Int): Unit =
+      if (depth == r) out += cur.clone()
+      else {
+        var i = start
+        while (i <= m - (r - depth)) { cur(depth) = i; rec(i + 1, depth + 1); i += 1 }
+      }
+    rec(0, 0)
+    out.toArray
+  }
+
+  /** Wide-radius SimHash near-dup pairs (VERDICT r5 next-round #2; the
+    * table design is Manku, Jain & Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW 2007 [LIT], generalized from their
+    * permuted-prefix tables to explicit block-combination keys):
+    * split the 64-bit sketch into `numBlocks` near-equal blocks; a pair
+    * within Hamming distance ≤ maxHamming disturbs at most maxHamming
+    * blocks, so at least r = numBlocks − maxHamming blocks are
+    * untouched and the pair agrees on SOME r-block combination
+    * (pigeonhole). One "table" per combination — C(numBlocks, r) of
+    * them — keyed by the concatenated chosen-block bits; candidate
+    * generation is a bucket self-join per (table, key), recall 1 by
+    * construction (modulo the hot-bucket cap, which is loud).
+    *
+    * This fixes BOTH r5 simhash boundaries at once:
+    *  - radius: maxHamming is no longer capped at 3 (the fixed 4×16-bit
+    *    chunk scheme's pigeonhole limit) — k = 6–7 is the regime Manku
+    *    measured for 64-bit web sketches;
+    *  - scale: key width is 64·r/numBlocks bits, so the default
+    *    geometry (r = 3) keys on ~2× the bits of the old 16-bit chunks
+    *    while the old scheme's buckets grow as n/65536 — the measured
+    *    quadratic-candidate regime from ~10⁷ docs. At k = 3 the default
+    *    here is 20 tables of 32-bit keys: average bucket n/2³², flat to
+    *    ~4×10¹² docs at the 1024-target — table COUNT (linear rows/doc)
+    *    is the price of bounded buckets, the right trade at corpus
+    *    scale.
+    *
+    * Geometry: r = numBlocks − maxHamming ≥ 1; numBlocks defaults to
+    * maxHamming + 3 (r = 3), giving C(k+3, 3) tables — 20 at k=3, 84 at
+    * k=6, 120 at k=7 — and key width ≈ 192/(k+3) + spare bits. Larger
+    * numBlocks widens nothing (blocks shrink); smaller r cuts tables
+    * but narrows keys. Table count is require()d ≤ 256: past that the
+    * linear row multiplier stops being a sane trade and the caller
+    * should be on minhash (threshold semantics) instead.
+    */
+  def simhashPairsWide(docs: DataFrame, maxHamming: Int = 6, numBlocks: Int = 0,
+                       maxBucketSize: Long = 10000,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       opLabel: String = "dedup_simhash_wide"): DataFrame = {
+    val m = if (numBlocks > 0) numBlocks else maxHamming + 3
+    val r = m - maxHamming
+    require(maxHamming >= 1 && maxHamming < 64, s"maxHamming in [1,63], got $maxHamming")
+    require(r >= 1, s"numBlocks ($m) must exceed maxHamming ($maxHamming)")
+    require(m <= 64, s"numBlocks ($m) cannot exceed the 64 sketch bits")
+    // count first (overflow-safe, capped): enumerating C(m, r) arrays
+    // before checking would itself blow up for silly geometries
+    val comboCount = (1 to r).foldLeft(1L) { (acc, i) =>
+      math.min(acc * (m - r + i) / i, 100000L)
+    }
+    require(comboCount <= 256,
+      s"C($m, $r) = $comboCount tables — past 256 the row multiplier " +
+        "is the wrong trade; use fewer blocks or minhash")
+    val combos = combinations(m, r)
+    // block i covers bits [64*i/m, 64*(i+1)/m) — widths differ by <= 1
+    val starts = Array.tabulate(m + 1)(i => 64 * i / m)
+    val tableKeys = udf((sim: Long) => {
+      val out = new Array[Long](combos.length)
+      var c = 0
+      while (c < combos.length) {
+        var key = 0L
+        val combo = combos(c)
+        var j = 0
+        while (j < combo.length) {
+          val b = combo(j)
+          val w = starts(b + 1) - starts(b)
+          key = (key << w) | ((sim >>> starts(b)) & ((1L << w) - 1L))
+          j += 1
+        }
+        out(c) = key
+        c += 1
+      }
+      out
+    })
+    val withSig = persistTracked(
+      docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash")))
+    val keyed = withSig
+      .select(col(idCol), posexplode(tableKeys(col("simhash"))).as(Seq("table", "key")))
+    val cool = coolBuckets(keyed, idCol, Seq("table", "key"), maxBucketSize, opLabel)
+    val l = cool.toDF("a", "table", "key")
+    val rgt = cool.toDF("b", "table", "key")
+    val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
+    l.join(rgt, Seq("table", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()

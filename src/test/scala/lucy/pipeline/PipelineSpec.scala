@@ -53,6 +53,39 @@ class PipelineSpec extends SparkFunSuite {
     assert(Dedup.simhash64(Array("a", "b", "c")) === Dedup.simhash64(Array("a", "b", "c")))
   }
 
+  test("simhashPairsWide: complete at Hamming <= k vs brute force (Manku pigeonhole)") {
+    import spark.implicits._
+    // 60 docs derived from 10 bases by token mutations — enough cross-
+    // pair variety that brute-force Hamming <= 6 has hits at several
+    // distances. Completeness is the whole claim: the C(m, r) block
+    // tables must surface EVERY pair the brute-force filter keeps.
+    val base = (0 until 10).map(i => (0 until 40).map(j => s"w${i}_$j"))
+    val docsW = (0 until 60).map { d =>
+      val b = base(d % 10).toArray
+      if (d >= 10) b(d % 40) = s"mut$d"
+      if (d >= 30) b((d + 7) % 40) = s"mut2_$d"
+      (d.toLong, b.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = docsW.select(col("doc_id"),
+      TextAnalysis.simhashUdf(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(3, 6, 7)) {
+      val expect = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= k
+      } yield (a, b, h)).toSet
+      val got = Dedup.simhashPairsWide(docsW, maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === expect, s"radius $k")
+      assert(expect.nonEmpty, s"radius $k fixture degenerate")
+    }
+    // geometry guards: table-count explosion and r < 1 both refuse loudly
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairsWide(docsW, maxHamming = 6, numBlocks = 6))
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairsWide(docsW, maxHamming = 20, numBlocks = 30))
+  }
+
   test("ngram jaccard is EXACT when the hot-shingle cap engages (ADVICE r1)") {
     import spark.implicits._
     // "boiler plate words here" shingles are shared by ALL 12 docs → hot
