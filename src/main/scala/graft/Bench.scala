@@ -103,9 +103,10 @@ object Bench {
     val concQps = (QuerySet.reference.size * passes) / timings("queries_concurrent")
 
     // Phase gating for scaling campaigns (r4): A/B/C always run (they
-    // carry the headline metrics); D..H are skippable so a 2-core
+    // carry the headline metrics); D..I are skippable so a 2-core
     // scaling rep doesn't pay the full operator sweep. Default = A-G
-    // (H, the ≥1M-doc dedup soak, is campaign-gated by design).
+    // (H, the ≥1M-doc dedup soak, and I, the dedup-pairs multi-probe
+    // soak, are campaign-gated by design).
     val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "ABCDEFG")
 
     // Locale.ROOT: default-locale "%.3f" yields comma decimals under e.g.
@@ -203,8 +204,23 @@ object Bench {
         }
         s""""lsh_probe$pbits":${num("%.3f", recallOf(rows))},"""
       }.getOrElse("")
+      // optional two-level probe sweep (SPARK_GRAFT_IVF2_SWEEP=
+      // "21x21,32x32,..."; VERDICT r5 next-round #4): recall vs
+      // (probe1, probe2) against the in-phase brute truth, so the 50M
+      // campaign can chart whether holding recall ≈ 1 needs probe
+      // counts that scale with n beyond the k/4 default.
+      val ivf2Sweep = sys.env.get("SPARK_GRAFT_IVF2_SWEEP").map { spec =>
+        spec.split(',').map { combo =>
+          val Array(p1, p2) = combo.trim.split('x').map(_.toInt)
+          val rows = timed(s"ann_ivf2_p${p1}x$p2") {
+            Similarity.ivfTwoLevelTopK(vecs, queries, k = 10, probe1 = p1, probe2 = p2,
+              corpusCount = annN, sampleCap = 16384, iters = 2).collect()
+          }
+          s""""ivf2_p${p1}x$p2":${num("%.3f", recallOf(rows))}"""
+        }.mkString("", ",", ",")
+      }.getOrElse("")
       annRecall = s""""ann_recall":{"ivf":${num("%.3f", recallOf(ivfRows))},""" +
-        s""""lsh":${num("%.3f", recallOf(lshRows))},$probeRecall""" +
+        s""""lsh":${num("%.3f", recallOf(lshRows))},$probeRecall$ivf2Sweep""" +
         s""""ivf2":${num("%.3f", recallOf(ivf2Rows))}},"""
       vecs.unpersist()
     }
@@ -234,7 +250,11 @@ object Bench {
       }
       val liveQueries = QuerySet.reference.take(5)
       timed("store_search_live") {
-        liveQueries.foreach(q => store.search(q.query, q.mode, q.k).collect())
+        liveQueries.zipWithIndex.foreach { case (q, i) =>
+          timed(s"store_live_q${i + 1}") {
+            store.search(q.query, q.mode, q.k).collect()
+          }
+        }
       }
       timed("store_delete") {
         store.delete((0L until 1000L).map(i => s"https://example.org/p/$i"))
@@ -342,6 +362,64 @@ object Bench {
         s""""clusters_found":$nClusters},"""
     }
 
+    // Phase I (r6, VERDICT r5 next-round #3): dedup-pairs multi-probe
+    // soak — embeddingCosinePairsLsh under the PINNED saturated 2×30-bit
+    // geometry (the n = 10^12 lshParamsFor shape, same as the
+    // ann_lsh_probe harness entry), probeBits = 0 vs 4, over a planted
+    // vector-PAIR corpus (VecGen.pairedVectors) whose ground truth is
+    // linear to compute: recall is against the planted pairs whose EXACT
+    // cosine clears the threshold, standing in for the O(n²) exact path
+    // at soak scale. Records wall, pair counts, recall, and (via the
+    // global CapStats collection below) any hot-bucket drops — the
+    // corpus-side ×2^probeBits cost multiplier, actually measured.
+    var embDedup = ""
+    if (phases.contains('I')) {
+      import lucy.fixtures.VecGen
+      import lucy.pipeline.{Dedup, Similarity}
+      import org.apache.spark.sql.functions.col
+      val nPairs = sys.env.get("SPARK_GRAFT_EMBDEDUP_PAIRS").map(_.toLong).getOrElse(500000L)
+      val thresh = 0.95
+      val vecs = timed("embdedup_gen") {
+        val v = VecGen.pairedVectors(spark, nPairs, parts = cpus.toInt * 2).cache()
+        v.count()
+        v
+      }
+      // linear ground truth: exact cosine of each planted (2m, 2m+1) pair
+      val truth = timed("embdedup_truth") {
+        val even = vecs.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") / 2).cast("long").as("m"), col("embedding").as("va"))
+        val odd = vecs.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") / 2).cast("long").as("m"), col("embedding").as("vb"))
+        val t = even.join(odd, Seq("m"))
+          .filter(Similarity.cosineCol(col("va"), col("vb")) >= thresh)
+          .select((col("m") * 2).as("a"), (col("m") * 2 + 1).as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t.count()
+        t
+      }
+      val truthN = truth.count()
+      def runProbe(pb: Int, label: String): (Long, Long) = {
+        val pairs = timed(label) {
+          val p = Dedup.embeddingCosinePairsLsh(vecs, thresh,
+            numPlanes = 60, bandBits = 30, corpusCount = nPairs * 2, probeBits = pb)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p
+        }
+        val found = pairs.count()
+        val hit = pairs.join(truth, Seq("a", "b"), "left_semi").count()
+        pairs.unpersist()
+        (found, hit)
+      }
+      val (f0, h0) = runProbe(0, "embdedup_probe0")
+      val (f4, h4) = runProbe(4, "embdedup_probe4")
+      truth.unpersist()
+      vecs.unpersist()
+      lucy.pipeline.Dedup.releaseCaches()
+      embDedup = s""""emb_dedup_probe":{"pairs_planted":$truthN,""" +
+        s""""probe0_pairs":$f0,"probe0_recall":${num("%.4f", h0.toDouble / truthN)},""" +
+        s""""probe4_pairs":$f4,"probe4_recall":${num("%.4f", h4.toDouble / truthN)}},"""
+    }
+
     // No-silent-caps evidence in the acceptance record (r4; collected
     // AFTER every phase since r5 so the soak's engaged caps and any
     // propagation non-convergence show up too): every capped operator
@@ -356,7 +434,7 @@ object Bench {
       .mkString("{", ",", "}")
     val capField = if (capDrops.isEmpty) "" else s""""cap_drops":{$capDrops},"""
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
-      s""""queries":$qs,$capField$annRecall$storeStats$dedupSoak""" +
+      s""""queries":$qs,$capField$annRecall$storeStats$dedupSoak$embDedup""" +
       s""""sf":"$sfDir","cpus":$cpus,"bench_docs":${manifest.docs},""" +
       s""""postings":${manifest.postings},"docs_per_sec":${num("%.1f", docsPerSec)},""" +
       s""""qps_sequential":${num("%.2f", seqQps)},""" +

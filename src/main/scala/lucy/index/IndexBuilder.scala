@@ -93,6 +93,11 @@ case class LucyIndex(dir: String) extends SearchableIndex {
   * (SURVEY.md §2.9 ST2: the index is additive; dedup happens at
   * compaction). Compaction restores exact single-index semantics.
   */
+object CompositeIndex {
+  /** Driver bound for fastCorpusStats' collected small-part rows. */
+  val smallSideLimit: Long = 1L << 20
+}
+
 case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
   require(parts.nonEmpty, "composite of zero indexes")
   def segments(spark: SparkSession): DataFrame =
@@ -114,9 +119,82 @@ case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
     parts.map(_.termStats(spark)).reduce(_ unionByName _)
       .groupBy(col("term"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-  def corpusStats(spark: SparkSession): CorpusStats = {
-    if (parts.length == 1) return parts.head.corpusStats(spark)
-    val row = docmap(spark)
+  def corpusStats(spark: SparkSession): CorpusStats =
+    if (parts.length == 1) parts.head.corpusStats(spark)
+    else fastCorpusStats(spark).getOrElse(aggCorpusStats(spark))
+
+  /** Shuffle-free composite stats (r6, VERDICT r5 next-round #6): the
+    * base+deltas shape has ONE big part and small recent ones, and the
+    * big part's manifest already carries exact (docs, Σ docLen). So:
+    * collect the small parts' slim docmap rows (bounded — guard below),
+    * probe the big part ONCE with a broadcast semi-join for the
+    * overlapping docIds (a pipelined scan, no Exchange), and apply the
+    * winner rule — max (warc_ts, srcIdx), identical to docmap()'s
+    * max_by struct ordering — driver-side. N and Σ docLen corrections
+    * are exact Long arithmetic; avgdl = Σ/N is the same division the
+    * builder's avg produced (doc on BuildManifest.sumDocLen), pinned by
+    * IncrementalSpec's bit-equal composite-vs-scratch scores. This was
+    * the dominant first-query cost of a live store view: a full
+    * docmap-union shuffle per mutation, now a delta-sized probe.
+    */
+  private def fastCorpusStats(spark: SparkSession): Option[CorpusStats] = {
+    val manifests = parts.map(_.manifest(spark))
+    if (manifests.exists(m => m.isEmpty || m.get.sumDocLen.isEmpty)) return None
+    val docsArr = manifests.map(_.get.docs)
+    val bigIdx = docsArr.zipWithIndex.maxBy(_._1)._2
+    if (docsArr.sum - docsArr(bigIdx) > CompositeIndex.smallSideLimit) return None
+    val big = parts(bigIdx)
+    // (docId, docLen, tsMicros, srcIdx) rows of every small part,
+    // gathered in ONE union job (a collect per part was most of the
+    // path's wall at 5+ deltas); unix_micros is an exact image of the
+    // timestamp, so Long ordering == timestamp ordering in the max_by
+    // struct
+    val smalls = parts.zipWithIndex.filter(_._2 != bigIdx).map { case (p, i) =>
+      p.docmap(spark)
+        .select(col("docId"), col("docLen").cast("long"), unix_micros(col("warc_ts")),
+          lit(i).as("srcIdx"))
+    }.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val smallIds = smalls.map(_._1).distinct
+    val overlap: Map[Long, (Long, Long)] = if (smallIds.isEmpty) Map.empty else {
+      import spark.implicits._
+      big.docmap(spark)
+        .select(col("docId"), col("docLen").cast("long"), unix_micros(col("warc_ts")))
+        .join(broadcast(smallIds.toSeq.toDF("docId")), Seq("docId"), "left_semi")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    // winner per small-involved docId over {big row?, small rows}
+    val byId = smalls.groupBy(_._1)
+    var n = docsArr(bigIdx)
+    var sumLen = manifests(bigIdx).get.sumDocLen.get
+    byId.foreach { case (id, rows) =>
+      // max by (tsMicros, srcIdx); big's srcIdx is bigIdx
+      val bestSmall = rows.maxBy(r => (r._3, r._4))
+      overlap.get(id) match {
+        case Some((bigLen, bigTs)) =>
+          val smallWins = bestSmall._3 > bigTs ||
+            (bestSmall._3 == bigTs && bestSmall._4 > bigIdx)
+          if (smallWins) sumLen += bestSmall._2 - bigLen
+        case None =>
+          n += 1
+          sumLen += bestSmall._2
+      }
+    }
+    Some(CorpusStats(n, if (n == 0) 0.0 else sumLen.toDouble / n))
+  }
+
+  /** Fallback (pre-r6 manifests, or a small side too big for the
+    * driver): SLIM winners aggregation — the scan and shuffle carry
+    * (docId, docLen, warc_ts), not the url strings that dominate docmap
+    * row width. Winner ordering is identical to docmap()'s.
+    */
+  private def aggCorpusStats(spark: SparkSession): CorpusStats = {
+    val slim = parts.zipWithIndex.map { case (p, i) =>
+      p.docmap(spark).select(col("docId"), col("docLen"), col("warc_ts"),
+        lit(i).as("srcIdx"))
+    }.reduce(_ unionByName _)
+    val row = slim.groupBy(col("docId"))
+      .agg(max_by(col("docLen"), struct(col("warc_ts"), col("srcIdx"))).as("docLen"))
       .agg(count(lit(1)).as("n"), avg(col("docLen")).as("avgdl")).head()
     CorpusStats(row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
   }
@@ -199,7 +277,9 @@ object IndexBuilder {
     // Stage 4: docmap
     val tDocmap0 = System.nanoTime()
     if (!Manifest.stageDone(spark, s"$indexDir/docmap")) {
-      docmapSrc.write.mode("overwrite").parquet(s"$indexDir/docmap")
+      // docmap file count follows the index's partition sizing, not the
+      // upstream shuffle width (coalesce never widens; equal is a no-op)
+      docmapSrc.coalesce(numPartitions).write.mode("overwrite").parquet(s"$indexDir/docmap")
     }
     val docmap = spark.read.parquet(s"$indexDir/docmap")
     val docmapMs = (System.nanoTime() - tDocmap0) / 1000000
@@ -207,9 +287,11 @@ object IndexBuilder {
     // One pass over docmap: corpus stats (A3) + the §8.5 collision check
     // (distinct docId must equal distinct url).
     val statsRow = docmap.agg(count(lit(1)), avg(col("docLen")),
-      count_distinct(col("docId")), count_distinct(col("url"))).head()
+      count_distinct(col("docId")), count_distinct(col("url")),
+      coalesce(sum(col("docLen")), lit(0L))).head()
     val stats = CorpusStats(statsRow.getLong(0),
       if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1))
+    val sumDocLen = statsRow.getLong(4)
     require(statsRow.getLong(2) == statsRow.getLong(3),
       s"docId collision: ${statsRow.getLong(2)} distinct docIds for " +
         s"${statsRow.getLong(3)} urls (LucySpec §8.5)")
@@ -257,7 +339,8 @@ object IndexBuilder {
       lang = config.lang.getOrElse(""),
       docmapMs = docmapMs, statsMs = statsMs, segmentsMs = segmentsMs,
       totalMs = (System.nanoTime() - t0) / 1000000,
-      frontier = frontier)
+      frontier = frontier,
+      sumDocLen = Some(sumDocLen))
     Manifest.writeBuild(spark, indexDir, m) // manifest LAST = build complete
     m
   }

@@ -26,7 +26,17 @@ case class BuildManifest(
       * idf (ADVICE r2). None/absent (pre-r3 manifests, plain batch
       * builds) means "no deltas folded" (frontier −1).
       */
-    frontier: Option[Long] = None)
+    frontier: Option[Long] = None,
+    /** Exact Σ docLen over this part's docmap (r6): lets the composite
+      * view derive N/avgdl WITHOUT a corpus-wide shuffle — driver-side
+      * winner correction over the (small) delta rows plus one probe
+      * scan of the big part. docLen sums are exact Longs, and Spark's
+      * avg over ints is the same sum/count double division while the
+      * sum is below 2^53, so the derived avgdl is bit-equal to the agg
+      * in that regime. None (pre-r6 manifests) falls back to the
+      * aggregation path.
+      */
+    sumDocLen: Option[Long] = None)
 
 /** Per-partition lineage/metrics row for the segments stage. */
 case class PartitionManifest(partId: Int, blocks: Long, postings: Long,
@@ -78,15 +88,37 @@ object Manifest {
   def writeBuild(spark: SparkSession, indexDir: String, m: BuildManifest): Unit = {
     import spark.implicits._
     Seq(m).toDS().coalesce(1).write.mode("overwrite").json(s"$indexDir/meta/build")
+    buildCache.put(indexDir, m)
   }
 
+  // A COMPLETED build manifest is immutable (the dir is never rewritten
+  // — compaction commits NEW generation dirs), but it is re-read
+  // constantly: every composite-view assembly checks each delta's
+  // manifest and the fast corpus-stats path reads all of them — at one
+  // Spark JSON job apiece that was ~1 s of every live-store engine
+  // rebuild (r6). The cache replaces only the Spark JSON READ; the
+  // cheap _SUCCESS existence check still runs on EVERY call, so crash /
+  // wipe / resume semantics are exactly the uncached ones (a deleted
+  // meta/build is observed immediately — IndexBuilderSpec pins this —
+  // and absence is never cached: a mid-build dir's manifest appears
+  // later and must be seen).
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BuildManifest]()
+
   def readBuild(spark: SparkSession, indexDir: String): Option[BuildManifest] = {
-    if (!stageDone(spark, s"$indexDir/meta/build")) return None
-    import spark.implicits._
-    spark.read
-      .schema(implicitly[org.apache.spark.sql.Encoder[BuildManifest]].schema)
-      .json(s"$indexDir/meta/build").as[BuildManifest]
-      .collect().headOption
+    if (!stageDone(spark, s"$indexDir/meta/build")) {
+      buildCache.remove(indexDir)
+      return None
+    }
+    Option(buildCache.get(indexDir)).orElse {
+      import spark.implicits._
+      val m = spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[BuildManifest]].schema)
+        .json(s"$indexDir/meta/build").as[BuildManifest]
+        .collect().headOption
+      m.foreach(buildCache.put(indexDir, _))
+      m
+    }
   }
 
   /** Per-partition metrics derived from the committed segments — one

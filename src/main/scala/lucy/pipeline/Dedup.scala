@@ -52,6 +52,16 @@ object Dedup {
   /** Unpersist everything the dedup/ANN-LSH operators have cached
     * (sketches, signatures, bucket-size tables, the final cluster-label
     * snapshot) since the last release.
+    *
+    * CONTRACT (ADVICE r5 #2): the registry is process-global and drains
+    * wholesale, so it assumes ONE dedup pipeline at a time per JVM —
+    * the single-writer model the whole store already runs under. A
+    * release issued while another corpus' dedup call is mid-flight
+    * unpersists that call's working frames too: still CORRECT (Spark
+    * recomputes), but silently slower. Note also that the ANN path
+    * (lshCosineTopK's degenerate-cap fallback) registers here — a
+    * long-lived ANN-only service should call this between corpora as
+    * well, or that fallback's bucket-size table stays pinned.
     */
   def releaseCaches(blocking: Boolean = false): Unit = {
     var f = releaseThunks.poll()
@@ -447,30 +457,51 @@ object Dedup {
       .persist(MEMORY_AND_DISK)
     val nPairs = p.count()
     if (nPairs <= localThreshold) {
-      val edgeArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // Primitive-long open-addressed union-find (r6, VERDICT r5
+      // next-round #5): the boxed HashMap[Long, Long] paid a box + hash
+      // dispatch on EVERY parent-chain step, and the soak showed it
+      // superlinear (4.2 s at 1M docs → 23.4 s at 2M with pairs only
+      // doubled — GC, not algorithm). Flat key/parent arrays make find
+      // a pointer-free primitive loop.
+      val rows = p.collect()
       p.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edgeArr.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+      val uf = new LongUnionFind(math.max(16, rows.length * 2))
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        uf.union(r.getLong(0), r.getLong(1))
+        i += 1
       }
       // the local path is always exact — record 0 pending so the ledger
       // never re-serializes a stale non-convergence from a PREVIOUS
       // distributed run, and the field appears (as 0) in soak records
       // whose pair graphs took this path
       CapStats.recordNonConvergence("neardup_clusters_unconverged", 0L, maxIters)
+      // Relabel DISTRIBUTED (same VERDICT item): the old
+      // keys.toSeq.map(...).toDF built a multi-million-row LocalRelation
+      // whose row encoding ran single-threaded on the driver. The two
+      // parallel primitive arrays ship ONCE via broadcast and the rows
+      // are built executor-side over index ranges.
+      val (ids, roots) = uf.entries()
       val sparkLocal = pairs.sparkSession
-      import sparkLocal.implicits._
-      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
+      val sc = sparkLocal.sparkContext
+      val bcIds = sc.broadcast(ids)
+      val bcRoots = sc.broadcast(roots)
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType, nullable = false)))
+      val parts = math.max(1, math.min(sc.defaultParallelism, ids.length / 65536 + 1))
+      val rowRdd = sc.parallelize(0 until parts, parts).mapPartitions { it =>
+        val is = bcIds.value
+        val rs = bcRoots.value
+        it.flatMap { pi =>
+          val lo = is.length.toLong * pi / parts
+          val hi = is.length.toLong * (pi + 1) / parts
+          (lo until hi).iterator.map(j =>
+            org.apache.spark.sql.Row(is(j.toInt), rs(j.toInt)))
+        }
+      }
+      return sparkLocal.createDataFrame(rowRdd, labelSchema)
     }
     val edges = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
@@ -719,5 +750,97 @@ object Dedup {
       .withColumn("hamming", hamming(col("simA"), col("simB")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
+}
+
+/** Open-addressed primitive-long union-find (nearDupClusters' driver
+  * path, VERDICT r5 next-round #5). Linear-probed power-of-two table
+  * holding (key, parent-VALUE) in flat long arrays — find walks parent
+  * values with full path compression, union links max root under min
+  * root so labels equal the minimum reachable id (identical to the
+  * distributed loop and the old boxed map). Grows at load 0.5; ids may
+  * be ANY long (occupancy is a separate bitmap — no key sentinel to
+  * collide with xxhash64-derived ids).
+  */
+private[pipeline] final class LongUnionFind(initialCapacity: Int) {
+  private var cap = java.lang.Integer.highestOneBit(math.max(16, initialCapacity) - 1) << 1
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var parent = new Array[Long](cap)
+  private var occupied = new Array[Boolean](cap)
+  private var size = 0
+
+  private def mix(x: Long): Int = {
+    // xxhash-style avalanche so consecutive ids spread across the table
+    var h = x * -0x61c8864680b583ebL // golden-ratio odd multiplier
+    h ^= h >>> 29; h *= -0x7ee3623a03d6d8dbL; h ^= h >>> 32
+    (h & mask).toInt
+  }
+
+  /** slot of x, inserting (x, x) if absent */
+  private def slotOf(x: Long): Int = {
+    var s = mix(x)
+    while (occupied(s)) {
+      if (keys(s) == x) return s
+      s = (s + 1) & mask
+    }
+    keys(s) = x; parent(s) = x; occupied(s) = true; size += 1
+    if (size * 2 > cap) { grow(); lookup(x) } else s
+  }
+
+  /** slot of a PRESENT key (no insert) */
+  private def lookup(x: Long): Int = {
+    var s = mix(x)
+    while (keys(s) != x || !occupied(s)) s = (s + 1) & mask
+    s
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val op = parent; val oo = occupied
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap)
+    parent = new Array[Long](cap)
+    occupied = new Array[Boolean](cap)
+    var i = 0
+    while (i < ok.length) {
+      if (oo(i)) {
+        var s = mix(ok(i))
+        while (occupied(s)) s = (s + 1) & mask
+        keys(s) = ok(i); parent(s) = op(i); occupied(s) = true
+      }
+      i += 1
+    }
+  }
+
+  /** root of x's component (x must be present); compresses the path */
+  def find(x: Long): Long = {
+    var r = x
+    var s = lookup(r)
+    while (parent(s) != r) { r = parent(s); s = lookup(r) }
+    var c = x
+    while (c != r) { val cs = lookup(c); val n = parent(cs); parent(cs) = r; c = n }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    slotOf(a); slotOf(b)
+    val ra = find(a)
+    val rb = find(b)
+    if (ra != rb) {
+      if (ra < rb) parent(lookup(rb)) = ra else parent(lookup(ra)) = rb
+    }
+  }
+
+  /** (ids, roots) parallel arrays over every key ever touched. */
+  def entries(): (Array[Long], Array[Long]) = {
+    val ids = new Array[Long](size)
+    val roots = new Array[Long](size)
+    var i = 0
+    var s = 0
+    while (s < cap) {
+      if (occupied(s)) { ids(i) = keys(s); roots(i) = find(keys(s)); i += 1 }
+      s += 1
+    }
+    (ids, roots)
   }
 }

@@ -497,13 +497,19 @@ object Similarity {
     // flat-scan threshold the default no longer warns-and-proceeds into
     // the known-bad O(K·d)-per-row regime (measured 54 s flat vs 6 s
     // two-level at 10M×64f/32c) — it delegates to the two-level
-    // quantizer. An EXPLICIT numLists still pins the flat path (with
-    // the warning), so flat-vs-two-level comparisons stay runnable.
-    if (numLists <= 0 && nprobe <= 0 && dnl > flatScanThreshold) {
+    // quantizer. Only an EXPLICIT numLists pins the flat path (with the
+    // warning), so flat-vs-two-level comparisons stay runnable; an
+    // nprobe alone does NOT opt out (ADVICE r5 #4 — nprobe has no
+    // flat-specific meaning worth pinning the slow path for): the
+    // two-level quantizer's k1·k2 effective cells match the flat √n
+    // granularity, so the caller's probed-cell budget carries over as
+    // probe1 = probe2 = ceil(√nprobe).
+    if (numLists <= 0 && dnl > flatScanThreshold) {
       log.info(s"ivfCosineTopK: derived numLists $dnl exceeds the " +
         s"flat-scan threshold ($flatScanThreshold) — dispatching to ivfTwoLevelTopK")
-      return ivfTwoLevelTopK(corpus, queries, k, corpusCount = n,
-        iters = iters, sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
+      val pl = if (nprobe > 0) math.ceil(math.sqrt(nprobe.toDouble)).toInt else 0
+      return ivfTwoLevelTopK(corpus, queries, k, probe1 = pl, probe2 = pl,
+        corpusCount = n, iters = iters, sampleCap = sampleCap, idCol = idCol, vecCol = vecCol)
     }
     val nl = if (numLists > 0) numLists else dnl
     // probe count tracks the EFFECTIVE list count (ADVICE r4 #2)

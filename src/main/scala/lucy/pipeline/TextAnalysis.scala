@@ -41,6 +41,16 @@ object TextAnalysis {
     * mirrors); kept tokens are pure [a-z0-9] runs, so Java length ==
     * SQL character length; the length sum stays a Long, divided as
     * double — the same arithmetic as the old aggregate/cast chain.
+    *
+    * Locale (ADVICE r5 #1): the lowering is DELIBERATELY Locale.ROOT —
+    * locale-proof, same discipline as the Bench num() fix — while
+    * Spark's `lower()` (hence [[tokensCol]]) lowers with the JVM
+    * default locale for non-ASCII. Under a tr_TR-style default the two
+    * tokenizers can disagree on dotted/dotless I; the oracle corpora
+    * are ASCII (where every locale agrees), and ROOT is the behavior a
+    * multi-locale cluster should want. Callers mixing tokensCol with
+    * the fused paths on non-ASCII text should run the JVM at -Duser
+    * .language=en or treat tokensCol as the SQL-parity form only.
     */
   private[pipeline] val tokenStatsUdf = udf((text: String) => {
     val raw = if (text == null) "" else text

@@ -50,7 +50,15 @@ object IncrementalIndexer {
       .start()
   }
 
-  /** One micro-batch → one delta index (idempotent by batchId). */
+  /** One micro-batch → one delta index (idempotent by batchId).
+    *
+    * (r6 note: right-sizing delta partitions to the batch — fewer,
+    * larger files — was tried for the live-search task fan-out and
+    * REVERTED: it cut put parallelism ~proportionally while the
+    * query-side tax turned out to be per-RELATION planning, not
+    * per-file tasks. Callers who want narrow deltas pin
+    * config.numPartitions.)
+    */
   def indexBatch(batch: DataFrame, rootDir: String, batchId: Long,
                  config: IndexConfig = IndexConfig()): Unit = {
     if (batch.isEmpty) return

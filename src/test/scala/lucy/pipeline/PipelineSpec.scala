@@ -399,6 +399,31 @@ class PipelineSpec extends SparkFunSuite {
     assert(clusters === Map(2L -> 2L, 3L -> 2L))
   }
 
+  test("primitive union-find equals the distributed loop on a random graph incl. negative ids (r6)") {
+    import spark.implicits._
+    // deterministic pseudo-random graph over a signed-id domain (the
+    // xxhash64 docId space the clusterers feed): 4000 edges over ~1500
+    // nodes — enough to force LongUnionFind through several table
+    // growths — with long chains from the modular structure
+    val edges = (0 until 4000).map { i =>
+      val a = lucy.LucySpec.rnd(0xED6E5EEDL, i) % 750
+      val b = lucy.LucySpec.rnd(0xED6E5EEDL ^ 0xFFFF, i) % 750
+      (a, if (a == b) b + 1 else b)
+    }
+    val pairs = edges.toDF("a", "b")
+    val local = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.nearDupClusters(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === distributed)
+    // labels are min-reachable-id: every label is <= its node and is
+    // itself labeled as a root
+    local.foreach { case (id, lbl) =>
+      assert(lbl <= id)
+      assert(local(lbl) === lbl)
+    }
+  }
+
   test("relational ops are parallelism-invariant (shuffle partitions 2 vs 32) (r4)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -615,6 +640,16 @@ class PipelineSpec extends SparkFunSuite {
     val flat = Similarity.ivfCosineTopK(emb, queries, k = 5, numLists = 8,
       corpusCount = 500L).collect()
     assert(flat.nonEmpty)
+    // nprobe ALONE does not opt out of the dispatch (ADVICE r5 #4): the
+    // probed-cell budget carries over as probe1 = probe2 = ceil(√nprobe)
+    val npOnly = Similarity.ivfCosineTopK(emb, queries, k = 5, nprobe = 25,
+      corpusCount = 500L, flatScanThreshold = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val npDirect = Similarity.ivfTwoLevelTopK(emb, queries, k = 5,
+      probe1 = 5, probe2 = 5, corpusCount = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(npOnly.toSeq === npDirect.toSeq,
+      "nprobe-only call must dispatch with the √nprobe probe mapping")
     // probe derivation tracks the EFFECTIVE list count (ADVICE r4 #2)
     assert(Similarity.ivfNprobeFor(8, 0) === 2)      // nl/4 floored at 2
     assert(Similarity.ivfNprobeFor(10000, 0) === 2500)
