@@ -62,14 +62,23 @@ final class LucyStore(spark: SparkSession, rootDir: String,
   // block-manager memory stays bounded by the live delta set).
   private val warmedParts = scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Dataset[_]]]()
 
-  // The COMPOSITE term-stats aggregation (union of parts → groupBy term)
-  // is rebuilt per lookupTerms call and was the per-QUERY live-search
-  // tax: every query with a not-yet-cached term re-ran the full vocab
-  // shuffle. Persisting the aggregated frame per view generation turns
-  // those lookups into in-memory filters; the single-part view keeps its
-  // pruned parquet probe (persisting would only defeat the min/max
-  // pushdown it already enjoys).
-  @volatile private var warmedViewStats: Seq[org.apache.spark.sql.Dataset[_]] = Nil
+  // DELIBERATELY NOT persisted: the composite term-stats aggregation
+  // (union of parts → groupBy term). Term lookups and prefix expansion
+  // both filter on the grouping column, so Catalyst pushes the
+  // predicate below the Aggregate into every part's scan — the base's
+  // term-SORTED stats parquet serves them as min/max-pruned range
+  // probes and the delta scans hit the part caches above; each lookup
+  // is one delta-sized job. An earlier r6 draft persisted the full
+  // aggregation per view generation instead: that materialization is a
+  // full-VOCABULARY shuffle paid per MUTATION on the warm-behind
+  // thread, racing ingest — a non-starter at corpus-scale base
+  // vocabulary — and the interleaved 1 M-doc A/B
+  // (store_ab_vs_*/store_ab_novs_*, BENCH/BASELINE.md round 6) showed
+  // it buys nothing: steady-state warm live search identical
+  // (2.37/2.50 s vs 2.32/2.38 s per 5 queries), zero-gap first search
+  // identical, puts parity-to-better without it (best-of 19.3 s vs
+  // 22.7 s for 5 × 50 k). The pushdown path wins on scale grounds at
+  // equal measured cost.
 
   private def syncPartCache(v: SearchableIndex): Unit = {
     def dirs(i: SearchableIndex): Seq[String] = i match {
@@ -90,12 +99,6 @@ final class LucyStore(spark: SparkSession, rootDir: String,
           .map(p => spark.read.parquet(p).persist(MEMORY_AND_DISK))
       })
     }
-    warmedViewStats.foreach(_.unpersist())
-    warmedViewStats =
-      if (live.size > 1) {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        Seq(v.termStats(spark).persist(MEMORY_AND_DISK))
-      } else Nil
   }
 
   private def engine: QueryEngine = synchronized {
@@ -109,8 +112,8 @@ final class LucyStore(spark: SparkSession, rootDir: String,
   }
 
   // Warm-BEHIND (r6, VERDICT r5 next-round #6): after every mutation the
-  // next engine's one-time costs — composite corpus stats, the persisted
-  // term-stats materialization, the new delta's relation caches — are
+  // next engine's one-time costs — composite corpus stats, the new
+  // delta's relation caches — are
   // paid on a background daemon thread, so the first post-mutation
   // search finds a warm engine instead of paying them inline (lucy.js
   // updates its in-memory index ON put; this is the async cluster
@@ -131,7 +134,9 @@ final class LucyStore(spark: SparkSession, rootDir: String,
           try {
             val e = engine
             e.stats // composite corpus stats (the N/avgdl probe)
-            warmedViewStats.foreach(_.count()) // materialize term stats
+            // materialize the delta relation caches (delta-sized jobs;
+            // idempotent — in-memory hits after the first build)
+            warmedParts.values.flatten.foreach(_.count())
           } catch { case e if scala.util.control.NonFatal(e) => () }
         }
       })

@@ -559,15 +559,24 @@ object Similarity {
     * count — while training cost and the per-row assignment scan are
     * O((k1+k2)·d) instead of O(√n·d). Capped at 4096 per level
     * (16.8 M cells ≡ n ≈ 2.8×10¹⁴ — past that, a third level).
-    * probes default to max(2, k/4) per level (probed cells =
-    * probe1 × probe2).
+    * Probes default ASYMMETRICALLY: probe1 = k/4 coarse cells,
+    * probe2 = k/2 residual codes. The r6 50 M-vector sweep
+    * (`ann_50m_ivf2sweep`, BENCH/BASELINE.md) showed the first
+    * sub-1.0 recall datapoint (0.981 at k/4 × k/4) is residual-side:
+    * doubling probe2 alone restored recall 1.0 at ~equal wall
+    * (p21x42: 1.000, 43 s vs baseline 45 s), while doubling probe1
+    * alone did nothing (p42x21: 0.981, 61 s). The shared residual
+    * codebook is the axis that coarsens as n grows — one codebook
+    * serves every coarse cell's residual distribution — so the
+    * probe budget goes there.
     */
   def ivfTwoLevelParamsFor(n: Long): (Int, Int, Int, Int) = {
     require(n > 0, "IVF over an empty corpus")
     val quarter = math.max(2L, math.ceil(math.pow(n.toDouble, 0.25)).toLong)
     val k = math.min(4096L, math.min(n, quarter)).toInt
-    val p = math.min(k, math.max(2, k / 4))
-    (k, k, p, p)
+    val p1 = math.min(k, math.max(2, k / 4))
+    val p2 = math.min(k, math.max(2, k / 2))
+    (k, k, p1, p2)
   }
 
   /** Two-level IVF ANN — the beyond-10⁹ quantizer (VERDICT r3

@@ -318,7 +318,8 @@ class PipelineSpec extends SparkFunSuite {
   test("two-level IVF: full probe == brute force; derived 10^12 geometry bounded (r4)") {
     import org.apache.spark.sql.functions.col
     // geometry: k1·k2 ≈ √n cells, (k1+k2)·d assignment flops per row
-    assert(Similarity.ivfTwoLevelParamsFor(1000000000000L) === (1000, 1000, 250, 250))
+    // probe2 = k/2 (residual axis gets the budget — r6 50M sweep)
+    assert(Similarity.ivfTwoLevelParamsFor(1000000000000L) === (1000, 1000, 250, 500))
     assert(Similarity.ivfTwoLevelParamsFor(300000000000000L)._1 === 4096) // level cap
     assert(Similarity.ivfTwoLevelParamsFor(500L) === (5, 5, 2, 2))
 

@@ -149,10 +149,14 @@ if __name__ == "__main__":
 # ---- two-level IVF (r4): shared residual codebook, cell = c1*k2 + c2 ----
 
 def ivf2_params_for(n):
+    # mirrors Similarity.ivfTwoLevelParamsFor: probe2 = k/2 (residual
+    # axis) vs probe1 = k/4 since the r6 50M sweep (recall holds 1.0
+    # by doubling residual probes at ~equal wall)
     q = max(2, math.ceil(n ** 0.25))
     k = min(4096, min(n, q))
-    p = min(k, max(2, k // 4))
-    return k, k, p, p
+    p1 = min(k, max(2, k // 4))
+    p2 = min(k, max(2, k // 2))
+    return k, k, p1, p2
 
 
 def probe_lists(v, centroids, nprobe):
