@@ -135,7 +135,15 @@ case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
     * builder's avg produced (doc on BuildManifest.sumDocLen), pinned by
     * IncrementalSpec's bit-equal composite-vs-scratch scores. This was
     * the dominant first-query cost of a live store view: a full
-    * docmap-union shuffle per mutation, now a delta-sized probe.
+    * docmap-union SHUFFLE per mutation, now one exchange-free pass.
+    * Honest cost accounting: the semi-join's broadcast side is
+    * delta-sized, but its SCAN side reads the whole big-part docmap
+    * (column-pruned to 3 columns, pipelined, no shuffle) — one such
+    * pass per view composition (the engine caches stats per view, the
+    * warm-behind pays it off the query path). Exact stats under
+    * url-update semantics need to learn the delta∩base overlap from
+    * somewhere; without a docId-indexed base that is a scan per NEW
+    * composition, amortized by batching puts.
     */
   private def fastCorpusStats(spark: SparkSession): Option[CorpusStats] = {
     val manifests = parts.map(_.manifest(spark))
