@@ -157,9 +157,15 @@ case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
     // path's wall at 5+ deltas); unix_micros is an exact image of the
     // timestamp, so Long ordering == timestamp ordering in the max_by
     // struct
+    // null warc_ts guard (ADVICE r6 #3): docmap()'s max_by and the
+    // aggregation fallback tolerate null timestamps; this path must not
+    // NPE on them. Long.MinValue sorts a null-ts row below every real
+    // one — the same "loses every tie" rank a null has in the max_by
+    // struct ordering.
     val smalls = parts.zipWithIndex.filter(_._2 != bigIdx).map { case (p, i) =>
       p.docmap(spark)
-        .select(col("docId"), col("docLen").cast("long"), unix_micros(col("warc_ts")),
+        .select(col("docId"), col("docLen").cast("long"),
+          coalesce(unix_micros(col("warc_ts")), lit(Long.MinValue)),
           lit(i).as("srcIdx"))
     }.reduce(_ unionByName _)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
@@ -167,7 +173,8 @@ case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
     val overlap: Map[Long, (Long, Long)] = if (smallIds.isEmpty) Map.empty else {
       import spark.implicits._
       big.docmap(spark)
-        .select(col("docId"), col("docLen").cast("long"), unix_micros(col("warc_ts")))
+        .select(col("docId"), col("docLen").cast("long"),
+          coalesce(unix_micros(col("warc_ts")), lit(Long.MinValue)))
         .join(broadcast(smallIds.toSeq.toDF("docId")), Seq("docId"), "left_semi")
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     }
@@ -271,11 +278,33 @@ object IndexBuilder {
     * the compaction path (which feeds merged winners instead of a fresh
     * ingest, SURVEY.md §3.3 step 4).
     */
-  def writeIndex(docmapSrc: DataFrame, termTfDl: DataFrame, indexDir: String,
+  def writeIndex(docmapSrc: DataFrame, termTfDlSrc: DataFrame, indexDir: String,
                  config: IndexConfig, fingerprint: String,
                  frontier: Option[Long] = None): BuildManifest = {
     val spark = docmapSrc.sparkSession
     val t0 = System.nanoTime()
+    // r7 (guide §1.2 step 1 — don't compute things twice): termTfDl
+    // feeds THREE full passes — the term-stats aggregation (stage 6),
+    // repartitionByRange's range-boundary sampling, and the pack/write
+    // pass (stages 7–10). Unpersisted, each pass re-ran the per-doc
+    // posting-extraction UDF over the cached `cleaned` frame (batch
+    // build), or — far worse — re-DECODED every part's posting blocks
+    // and re-joined winners (compaction). One materialization of the
+    // narrow (docId, docLen, term, tf, posBytes) rows serves all three;
+    // the same materialize-once trade `cleaned` already makes, spilling
+    // to disk past memory. Unpersisted as soon as the segments stage has
+    // committed. (Resume path: persist/unpersist of a never-evaluated
+    // frame is free.)
+    val termTfDl = termTfDlSrc.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeIndexStages(docmapSrc, termTfDl, indexDir, config, fingerprint, frontier, t0)
+    } finally termTfDl.unpersist()
+  }
+
+  private def writeIndexStages(docmapSrc: DataFrame, termTfDl: DataFrame, indexDir: String,
+                               config: IndexConfig, fingerprint: String,
+                               frontier: Option[Long], t0: Long): BuildManifest = {
+    val spark = docmapSrc.sparkSession
     // marker FIRST: partial builds are identity-guarded too (ADVICE r1)
     Manifest.claimFingerprint(spark, indexDir, fingerprint)
     val numPartitions =
@@ -304,11 +333,29 @@ object IndexBuilder {
       s"docId collision: ${statsRow.getLong(2)} distinct docIds for " +
         s"${statsRow.getLong(3)} urls (LucySpec §8.5)")
 
+    // Scale-adaptive partition sizing (r7, guide §2 "derive from input
+    // size rather than a constant"): the session's shuffle width is the
+    // CAP, not the width — a 10k-doc delta was paying 32 sort/pack tasks
+    // and writing 32 near-empty segment files per put (and every later
+    // composite-view scan re-opened all of them). Σ docLen (exact, from
+    // the stats pass above) is a tight upper bound on posting rows, so
+    // size the range exchange to ~512k postings per partition, capped at
+    // the configured width — the 270k-doc bench build derives ≥ 32 and
+    // keeps its exact r6 plan; only genuinely small inputs narrow.
+    // An explicit config.numPartitions still pins everything.
+    val segParts =
+      if (config.numPartitions > 0) numPartitions
+      else math.max(1, math.min(numPartitions.toLong,
+        sumDocLen / 524288L + 1L).toInt)
+    val statsParts = math.max(1, math.min(numPartitions / 4, segParts))
+
     // Stage 6: term stats
     val tStats0 = System.nanoTime()
     if (!Manifest.stageDone(spark, s"$indexDir/stats/terms")) {
+      // statsParts == 1 skips RangePartitioner's sampling job entirely
+      // (rangeBounds are empty for a single partition)
       Stats.termStats(termTfDl)
-        .repartitionByRange(math.max(1, numPartitions / 4), col("term"))
+        .repartitionByRange(statsParts, col("term"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(s"$indexDir/stats/terms")
     }
@@ -319,7 +366,7 @@ object IndexBuilder {
     val tSeg0 = System.nanoTime()
     if (!Manifest.stageDone(spark, s"$indexDir/segments")) {
       val head = Postings.headTerms(termStats, config.saltDfThreshold, config.maxSalts)
-      val blocks = Postings.packBlocks(Postings.salted(termTfDl, head), numPartitions)
+      val blocks = Postings.packBlocks(Postings.salted(termTfDl, head), segParts)
       blocks.toDF()
         .withColumn("partId", spark_partition_id())
         .write.mode("overwrite").parquet(s"$indexDir/segments")
@@ -327,22 +374,31 @@ object IndexBuilder {
     val segments = spark.read.parquet(s"$indexDir/segments")
     val segmentsMs = (System.nanoTime() - tSeg0) / 1000000
 
-    if (!Manifest.stageDone(spark, s"$indexDir/meta/partitions")) {
-      Manifest.partitionManifests(segments)
-        .coalesce(1).write.mode("overwrite").json(s"$indexDir/meta/partitions")
-    }
-    // build totals come from the tiny per-partition manifest rows — no
-    // second scan over the segments
-    val partTotals = spark.read.json(s"$indexDir/meta/partitions")
-      .agg(sum(col("postings")), sum(col("blocks"))).head()
-    val nPostings = if (partTotals.isNullAt(0)) 0L else partTotals.getLong(0)
-    val nBlocks = if (partTotals.isNullAt(1)) 0L else partTotals.getLong(1)
+    // Per-partition manifest rows: aggregated once, collected (bounded —
+    // one row per segment partition), totals summed driver-side. The r6
+    // shape wrote them through one Spark job and then READ them back
+    // with schema inference — two more jobs per build whose only purpose
+    // was summing ≤ numPartitions tiny rows (guide §1.2: don't compute
+    // things you can carry).
+    val pmRows: Array[org.apache.spark.sql.Row] =
+      if (Manifest.stageDone(spark, s"$indexDir/meta/partitions")) {
+        spark.read.json(s"$indexDir/meta/partitions")
+          .select(col("partId"), col("blocks"), col("postings"), col("bytes"),
+            col("terms"), col("minTermHash"), col("maxTermHash"))
+          .collect()
+      } else {
+        val rows = Manifest.partitionManifests(segments).collect()
+        Manifest.writePartitionManifests(spark, s"$indexDir/meta/partitions", rows)
+        rows
+      }
+    val nPostings = pmRows.iterator.map(r => r.getLong(r.fieldIndex("postings"))).sum
+    val nBlocks = pmRows.iterator.map(r => r.getLong(r.fieldIndex("blocks"))).sum
 
     val m = BuildManifest(
       fingerprint = fingerprint,
       docs = stats.n, avgdl = stats.avgdl,
       postings = nPostings, blocks = nBlocks,
-      numPartitions = numPartitions,
+      numPartitions = segParts,
       saltDfThreshold = config.saltDfThreshold,
       lang = config.lang.getOrElse(""),
       docmapMs = docmapMs, statsMs = statsMs, segmentsMs = segmentsMs,

@@ -126,7 +126,10 @@ object Dedup {
     // released by releaseCaches)
     val sh = precomputedShingles.getOrElse(persistTracked(shingles(docs, n, idCol, textCol)))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    // sdf feeds the rare semi-join AND the hot-set semi-join — persist
+    // the shingle-vocab-sized frame so the groupBy runs once (r7; same
+    // spillable-narrow-frame trade as the signature caches)
+    val sdf = persistTracked(sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf")))
     val rare = sh.join(sdf.filter(col("sdf") <= maxShingleDf).select("shingle"),
       Seq("shingle"), "left_semi")
     // per-doc HOT shingle sets (sorted for determinism); most docs have
@@ -579,16 +582,23 @@ object Dedup {
       .select(col("cluster"), col(idCol), col(scoreCol))
   }
 
-  /** SimHash core (shared with TextAnalysis.simhashUdf). */
+  /** SimHash core (shared with TextAnalysis.simhashUdf). r7: the
+    * per-bit accumulation is branchless — acc(b) += 2·bit − 1 is the
+    * same ±1 update without the per-bit branch the old loop paid (64
+    * branches per token × corpus tokens was the soak-scale hot loop);
+    * integer arithmetic, value-identical.
+    */
   def simhash64(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)
-    tokens.foreach { t =>
-      val h = XxHash64.hashUtf8(t, LucySpec.seed)
+    var ti = 0
+    while (ti < tokens.length) {
+      val h = XxHash64.hashUtf8(tokens(ti), LucySpec.seed)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        acc(b) += ((((h >>> b) & 1L) << 1) - 1L).toInt
         b += 1
       }
+      ti += 1
     }
     var out = 0L
     var b = 0
@@ -618,12 +628,18 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucketSize: Long = 10000,
                    idCol: String = "doc_id", textCol: String = "text",
-                   opLabel: String = "dedup_simhash"): DataFrame = {
+                   opLabel: String = "dedup_simhash",
+                   precomputedSims: Option[DataFrame] = None): DataFrame = {
     require(maxHamming <= 3, "chunk bucketing covers Hamming ≤ 3")
     // sketch pass feeds chunking AND both Hamming re-attach joins —
-    // persist the narrow (id, simhash) frame so it runs once (r4)
-    val withSig = persistTracked(
-      docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash")))
+    // persist the narrow (id, simhash) frame so it runs once (r4).
+    // Callers running several sketch analyses over one corpus pass a
+    // shared (idCol, …, simhash) frame via precomputedSims (r7; caller-
+    // owned: not re-persisted, not released by releaseCaches).
+    val withSig = precomputedSims
+      .map(_.select(col(idCol), col("simhash")))
+      .getOrElse(persistTracked(
+        docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash"))))
     val chunked = withSig.select(col(idCol),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunkNo"),
@@ -698,7 +714,8 @@ object Dedup {
   def simhashPairsWide(docs: DataFrame, maxHamming: Int = 6, numBlocks: Int = 0,
                        maxBucketSize: Long = 10000,
                        idCol: String = "doc_id", textCol: String = "text",
-                       opLabel: String = "dedup_simhash_wide"): DataFrame = {
+                       opLabel: String = "dedup_simhash_wide",
+                       precomputedSims: Option[DataFrame] = None): DataFrame = {
     val m = if (numBlocks > 0) numBlocks else maxHamming + 3
     val r = m - maxHamming
     require(maxHamming >= 1 && maxHamming < 64, s"maxHamming in [1,63], got $maxHamming")
@@ -715,6 +732,7 @@ object Dedup {
     val combos = combinations(m, r)
     // block i covers bits [64*i/m, 64*(i+1)/m) — widths differ by <= 1
     val starts = Array.tabulate(m + 1)(i => 64 * i / m)
+    val sims = precomputedSims.map(_.select(col(idCol), col("simhash")))
     val tableKeys = udf((sim: Long) => {
       val out = new Array[Long](combos.length)
       var c = 0
@@ -733,8 +751,8 @@ object Dedup {
       }
       out
     })
-    val withSig = persistTracked(
-      docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash")))
+    val withSig = sims.getOrElse(persistTracked(
+      docs.select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("simhash"))))
     val keyed = withSig
       .select(col(idCol), posexplode(tableKeys(col("simhash"))).as(Seq("table", "key")))
     val cool = coolBuckets(keyed, idCol, Seq("table", "key"), maxBucketSize, opLabel)

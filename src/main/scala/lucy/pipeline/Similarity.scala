@@ -62,21 +62,94 @@ object Similarity {
       s
     })
 
+  /** Σ v(i)² → √ in a tight loop — value-identical to [[normCol]]
+    * (same left-to-right double fold over float casts; the same
+    * equivalence dotProductUdf states for dotCol).
+    */
+  private def normOf(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries is expected tiny (broadcast); corpus arbitrary.
+    *
+    * r7 shape (guide §1.2 step 1): the r6 version materialized the full
+    * |queries| × |corpus| cross join as rows and SORTED every partition
+    * of it to feed the window's rank limit — at 16 × 10⁶ that sort was
+    * most of the phase-F truth-set wall. Now each corpus partition
+    * streams once against the broadcast query set holding one bounded
+    * k-heap per query; only |queries| × k rows per partition surface to
+    * the final (tiny) window rank. Bit-identical output: dot and norms
+    * use the same FP op order as dotProductUdf/normCol, the heap's
+    * total order is exactly the window's (cosine DESC, neighbor_id
+    * ASC — java.lang.Double.compare, NaN-largest, matching Spark's
+    * double ordering), and a per-partition exact top-k merged by an
+    * exact global rank is an exact global top-k.
     */
   def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      normCol(col(vecCol)).as("qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      normCol(col(vecCol)).as("cn"))
-    val scored = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotProductUdf(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.map(_._2)
+    val qNorms = qVecs.map(normOf)
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val kk = k
+    val partials = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (ids, vs, qns) = bc.value
+        val nq = ids.length
+        // worst-at-root heaps: min cosine first, ties to the LARGER
+        // neighbor id (the worse row under neighbor_id ASC). The `==`
+        // pre-check makes -0.0 tie with 0.0 exactly as Spark's sort
+        // does (NormalizeFloatingNumbers); NaN falls through to
+        // Double.compare's NaN-largest, also Spark's ordering.
+        val worstFirst = new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int =
+            if (a._1 == b._1) java.lang.Long.compare(b._2, a._2)
+            else java.lang.Double.compare(a._1, b._1)
+        }
+        val heaps = Array.fill(nq)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst.reverse))
+        it.foreach { case (nid, cvec) =>
+          val cn = normOf(cvec)
+          var qi = 0
+          while (qi < nq) {
+            if (ids(qi) != nid) {
+              val qv = vs(qi)
+              var dot = 0.0
+              var i = 0
+              val n = math.min(qv.length, cvec.length)
+              while (i < n) { dot += qv(i).toDouble * cvec(i).toDouble; i += 1 }
+              val cos = dot / (qns(qi) * cn)
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((cos, nid))
+              else {
+                val (wc, wn) = h.head
+                val betterThanWorst =
+                  if (cos == wc) nid < wn
+                  else java.lang.Double.compare(cos, wc) > 0
+                if (betterThanWorst) { h.dequeue(); h.enqueue((cos, nid)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, nid) => (ids(qi), nid, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    partials
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -471,6 +544,74 @@ object Similarity {
     dots.sorted.take(nprobe).map(_._2).toArray
   }
 
+  /** Allocation-lean flat-path assignment kernel (r7, guide §1.2 "per-
+    * task work"): the r6 assign UDF paid, per corpus row, two array
+    * allocations (toArray.map + normalize's out) and a 2-D
+    * Array[Array[Double]] walk whose per-centroid row dereference +
+    * bounds checks dominated the 64·K MACs. This kernel flattens the
+    * centroid matrix row-major ONCE per task (the UDF closure owns it)
+    * and normalizes into a single scratch-free pass.
+    *
+    * BIT-IDENTITY (the ann_ivf_cosine oracle hashes results): the FP
+    * op sequence is exactly normalize()+nearestList() — q(d) =
+    * v(d).toDouble * inv rounded once, then dot += q(d) * c(d) in
+    * ascending d, centroids visited in ascending list id with the same
+    * strict `>` tie-break. Only the memory layout changed.
+    */
+  private[pipeline] final class CentroidKernel(centroids: Array[Array[Double]])
+      extends Serializable {
+    val k: Int = centroids.length
+    val dim: Int = centroids(0).length
+    private val flat: Array[Double] = {
+      val f = new Array[Double](k * dim)
+      var li = 0
+      while (li < k) { System.arraycopy(centroids(li), 0, f, li * dim, dim); li += 1 }
+      f
+    }
+
+    /** argmax over centroids of dot(normalize(v), c) — same value as
+      * nearestList(normalize(v.toArray.map(_.toDouble)), centroids).
+      */
+    def nearest(v: Array[Float]): Int = {
+      val n = v.length
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = v(i).toDouble; s += d * d; i += 1 }
+      val inv = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+      val q = new Array[Double](n)
+      i = 0
+      while (i < n) { q(i) = v(i).toDouble * inv; i += 1 }
+      val d = math.min(dim, n)
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var li = 0
+      while (li < k) {
+        val off = li * dim
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += q(j) * flat(off + j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = li }
+        li += 1
+      }
+      best
+    }
+  }
+
+  /** The flat-IVF corpus-assignment UDF over a centroid model (shared
+    * by ivfCosineTopK and the BenchExtra isolation bench).
+    */
+  def assignUdfFor(centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val kernel = new CentroidKernel(centroids)
+    udf((v: Array[Float]) => kernel.nearest(v))
+  }
+
+  /** r6 assignment shape, kept ONLY for the BenchExtra before/after
+    * A/B; value-identical to assignUdfFor (CentroidKernel doc).
+    */
+  def assignUdfOld(centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Array[Float]) =>
+      nearestList(normalize(v.toArray.map(_.toDouble)), centroids))
+
   /** IVF ANN: corpus partitioned into numLists coarse cells; a query
     * scores only the cells of its nprobe nearest centroids. Exact
     * cosine on the candidates → precision 1; recall is set by nprobe
@@ -521,8 +662,7 @@ object Similarity {
     val centroids = trainIvfCentroids(corpus, nl, n, sampleCap = sampleCap,
       iters = iters, idCol = idCol, vecCol = vecCol)
 
-    val assignUdf = udf((v: Array[Float]) =>
-      nearestList(normalize(v.toArray.map(_.toDouble)), centroids))
+    val assignUdf = assignUdfFor(centroids)
     val probeUdf = udf((v: Array[Float]) =>
       probeLists(normalize(v.toArray.map(_.toDouble)), centroids, np))
     probeJoinTopK(corpus, queries, k, assignUdf, probeUdf, idCol, vecCol)

@@ -159,10 +159,15 @@ object IncrementalIndexer {
       .select(col("docId"), col("r.url").as("url"), col("r.warc_ts").as("warc_ts"),
         col("r.lang").as("lang"), col("r.docLen").as("docLen"),
         col("r.srcIdx").as("winSrc"))
+    // r7: winners feeds BOTH the docmap write and the kept-postings join
+    // below — persist the narrow frame so the all-parts docmap union +
+    // groupBy runs once per compaction, not twice (unpersisted after
+    // the new generation commits).
     val winners =
-      if (tombstones.isEmpty) winnersAll
-      else winnersAll.join(
-        broadcast(tombstones.toSeq.toDF("docId")), Seq("docId"), "left_anti")
+      (if (tombstones.isEmpty) winnersAll
+       else winnersAll.join(
+         broadcast(tombstones.toSeq.toDF("docId")), Seq("docId"), "left_anti"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val postings = parts.zipWithIndex.map { case (p, i) =>
       p.segments(spark).as[SegmentRow].flatMap { r =>
@@ -183,9 +188,11 @@ object IncrementalIndexer {
 
     val newGen = gen + 1
     val maxDelta = deltas.map(_._1).maxOption.getOrElse(frontier)
-    val m = IndexBuilder.writeIndex(winners.drop("winSrc"), kept,
-      s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen",
-      frontier = Some(maxDelta)) // recorded for exact pointer recovery (ADVICE r2)
+    val m =
+      try IndexBuilder.writeIndex(winners.drop("winSrc"), kept,
+        s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen",
+        frontier = Some(maxDelta)) // recorded for exact pointer recovery (ADVICE r2)
+      finally winners.unpersist()
     writeCurrent(spark, rootDir, CurrentPointer(newGen, maxDelta)) // pointer LAST
     // purge the tombstone log generations this compaction applied (after
     // the pointer commit: a crash before this point just re-applies them)
@@ -214,11 +221,21 @@ object IncrementalIndexer {
   }
 
   private def writeCurrent(spark: SparkSession, rootDir: String, c: CurrentPointer): Unit = {
-    import spark.implicits._
     val next = pointerGens(spark, rootDir).maxOption.getOrElse(0L) + 1
-    Seq(c).toDS().coalesce(1).write.mode("overwrite").json(s"$rootDir/current/p-$next")
+    // direct-FS commit (r7): two longs do not need a Spark job; the
+    // data-then-_SUCCESS order matches the Spark committer's (see
+    // Manifest.writeJsonDir rationale). Readers unchanged.
+    val dir = new Path(s"$rootDir/current/p-$next")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "part-00000.json"), true)
+    try out.write(
+      s"""{"gen":${c.gen},"compactedThrough":${c.compactedThrough}}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
     // prune: keep the two highest generations (the new one + one fallback)
-    val fs = new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     pointerGens(spark, rootDir).dropRight(2)
       .foreach(g => fs.delete(new Path(s"$rootDir/current/p-$g"), true))
   }

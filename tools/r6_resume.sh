@@ -2,7 +2,8 @@
 # Resume the r6 campaign after the driver session died mid-run:
 # r6_campaign.jsonl already holds driver1-3 + scale32_1,2.
 cd /root/repo
-. tools/r6_campaign.sh_lib 2>/dev/null || true
+# (ADVICE r6 #5: the old `. tools/r6_campaign.sh_lib` source line was a
+# dead reference — run() below is the real, self-contained helper.)
 run() {
   local tag=$1 cpus=$2 docs=$3 phases=$4; shift 4
   mkdir -p /dev/shm/spark-local && rm -rf /dev/shm/spark-local/*
