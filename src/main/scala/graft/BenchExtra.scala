@@ -122,6 +122,44 @@ object BenchExtra {
           timed(s"brute_s$s")(Similarity.bruteCosineTopK(vecs, queries, k = 10).collect())
         vecs.unpersist()
 
+      case "storelive" =>
+        // isolate the zero-gap first-search race: same shape as bench
+        // phase G but with a SECOND store whose first search waits for
+        // the background warm — separating the warm race from the
+        // steady live-serving cost.
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        import lucy.query.QueryMode
+        import spark.implicits._
+        val batch = math.max(1000L, n / 20)
+        def mk(tag: String): lucy.LucyStore = {
+          val root = Files.createTempDirectory(s"r7-live-$tag").toString + "/store"
+          val st = new lucy.LucyStore(spark, root)
+          timed(s"${tag}_bootstrap")(st.bootstrap(PagesGen.pages(spark, n, cpus.toInt * 2)))
+          timed(s"${tag}_puts") {
+            for (b <- 0L until 5L) {
+              val lo = n + b * batch
+              st.put(spark.range(lo, lo + batch).as[Long].map(PagesGen.page _).toDF(), b)
+            }
+          }
+          st
+        }
+        val qs = lucy.query.QuerySet.reference.take(5)
+        val s1 = mk("zerogap")
+        timed("zerogap_search5") {
+          qs.zipWithIndex.foreach { case (q, i) =>
+            timed(s"zerogap_q${i + 1}")(s1.search(q.query, q.mode, q.k).collect())
+          }
+        }
+        s1.close()
+        val s2 = mk("warmed")
+        timed("warm_wait")(Thread.sleep(4000))
+        timed("warmed_search5") {
+          qs.zipWithIndex.foreach { case (q, i) =>
+            timed(s"warmed_q${i + 1}")(s2.search(q.query, q.mode, q.k).collect())
+          }
+        }
+        s2.close()
+
       case "harness" =>
         val names = args.drop(1)
         names.foreach { name =>

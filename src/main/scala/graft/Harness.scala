@@ -86,29 +86,12 @@ object Harness {
       lucy.pipeline.Dedup.shingles(documents(spark, sfDir), 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Per-doc (doc_id, term, tf) — the LucySpec-tokenized term-frequency
-    * frame three entries re-derived independently (tokenize_tf, docfreq,
-    * term_vectors each re-ran the tokenizer UDF + the (doc_id, term)
-    * aggregation; r7 — same amortization rationale as the sketch
-    * frames above).
-    */
-  def tokenTf(spark: SparkSession, sfDir: String): DataFrame =
-    sketches.getOrElseUpdate(("tf", sfDir), {
-      import org.apache.spark.sql.functions.{col, count, explode, lit}
-      documents(spark, sfDir)
-        .select(col("doc_id"), explode(lucy.index.Ingest.tokenizeUdf(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-
-  /** documents + simhash column, shared by the three simhash dedup
-    * entries and doc_fingerprint (each re-ran the 64-bit sketch UDF
-    * over the corpus; r7).
-    */
-  def simhashes(spark: SparkSession, sfDir: String): DataFrame =
-    sketches.getOrElseUpdate(("simh", sfDir),
-      lucy.pipeline.TextAnalysis.simhashes(documents(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  // (r7: shared persisted tokenTf / simhash frames across the tf-family
+  // and simhash-family entries were TRIED and REVERTED — at the 5k-doc
+  // harness corpus the cache materialization cost exceeded the saved
+  // recomputes in the interleaved idle A/B. The ngram/minhash shared
+  // frames above survive because their downstream joins reuse them
+  // several times WITHIN one entry, not merely across entries.)
 
   def minhashSigs16(spark: SparkSession, sfDir: String): DataFrame =
     sketches.getOrElseUpdate(("mh16", sfDir),

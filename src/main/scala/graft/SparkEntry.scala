@@ -284,6 +284,10 @@ object SparkEntry {
         col("nTerms").cast("long").as("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
 
+  private def tokensWithDocId(spark: SparkSession, sfDir: String): DataFrame =
+    Harness.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Ingest.tokenizeUdf(col("text"))).as("term"))
+
   /** F1 extractText fixtures: inline HTML on the Spark side, the SPEC-
     * derived expected text (hand-computed from SURVEY.md §8.1, NOT from
     * the implementation) inlined on the DuckDB side — the harness-level
@@ -327,15 +331,18 @@ object SparkEntry {
     }),
 
     // -- tokenizer / stats over documents --------------------------------
-    // (r7: the three tf-consuming entries share Harness.tokenTf — one
-    // tokenizer pass + one (doc_id, term) aggregation instead of three;
-    // identical results, same amortization pattern as the sketch frames)
+    // (r7 note: sharing one persisted tf frame across these entries was
+    // TRIED and REVERTED — at the 5k-doc harness corpus the cache
+    // materialization cost more than the three recomputes it saved:
+    // tf-family wall 1.57 s → 2.07 s in the interleaved idle A/B.)
     "tokenize_tf" -> ((s, dir) =>
-      Harness.tokenTf(s, dir)
+      tokensWithDocId(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .orderBy(col("doc_id"), col("term"))),
 
     "docfreq" -> ((s, dir) =>
-      Harness.tokenTf(s, dir)
+      tokensWithDocId(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
         .orderBy(col("term"))),
 
@@ -344,7 +351,7 @@ object SparkEntry {
         .withColumn("dl", size(Ingest.tokenizeUdf(col("text"))).cast("long"))
       val a = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         sum(col("dl")).as("total_tokens"))
-      val v = Harness.tokenTf(s, dir).agg(count_distinct(col("term")).as("vocab"))
+      val v = tokensWithDocId(s, dir).agg(count_distinct(col("term")).as("vocab"))
       a.crossJoin(v)
     }),
 
@@ -458,7 +465,8 @@ object SparkEntry {
     // sorted struct arrays, re-read through a MapType lookup
     // (array_sort / transform / slice / map_from_entries / element_at).
     "term_vectors" -> ((s, dir) => {
-      val tf = Harness.tokenTf(s, dir)
+      val tf = tokensWithDocId(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       tf.groupBy(col("doc_id"))
         .agg(array_sort(collect_list(struct((col("tf") * -1).as("neg"),
           col("term").as("term"), col("tf").as("tf")))).as("entries"))
@@ -532,8 +540,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Harness.documents(s, dir), maxHamming = 3,
-        precomputedSims = Some(Harness.simhashes(s, dir)))
+      Dedup.simhashPairs(Harness.documents(s, dir), maxHamming = 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a"), col("b"))),
 
@@ -545,8 +552,7 @@ object SparkEntry {
     // exactly what the row checks (145/163/13579 pairs across SFs vs
     // 21/19/432 at radius 3).
     "dedup_simhash_rotated" -> ((s, dir) =>
-      Dedup.simhashPairsWide(Harness.documents(s, dir), maxHamming = 6,
-        precomputedSims = Some(Harness.simhashes(s, dir)))
+      Dedup.simhashPairsWide(Harness.documents(s, dir), maxHamming = 6)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a"), col("b"))),
 
@@ -555,8 +561,7 @@ object SparkEntry {
     // drop-count from CapStats in the driver log while this entry runs.
     "dedup_simhash_capped" -> ((s, dir) =>
       Dedup.simhashPairs(Harness.documents(s, dir), maxHamming = 3,
-        maxBucketSize = cappedChunkBucket, opLabel = "dedup_simhash_capped",
-        precomputedSims = Some(Harness.simhashes(s, dir)))
+        maxBucketSize = cappedChunkBucket, opLabel = "dedup_simhash_capped")
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a"), col("b"))),
 
@@ -582,7 +587,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "doc_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Harness.simhashes(s, dir))
+      TextAnalysis.fingerprints(
+        TextAnalysis.simhashes(Harness.documents(s, dir)))
         .select(col("doc_id"), col("fingerprint"), col("simhash"))
         .orderBy(col("doc_id"))),
 

@@ -136,9 +136,13 @@ final class LucyStore(spark: SparkSession, rootDir: String,
             // composite corpus stats, then the relation-level one-time
             // costs (file listing, parquet footers, union-plan analysis)
             // via pruned no-data probes — r7, VERDICT r6 next-round #4:
-            // these were what the first post-mutation search still paid
-            // inline after the r6 warm (measured ~2.8 s of the 6.1 s
-            // zero-gap first-search in the store soak).
+            // with the warm given think-time to finish, the first live
+            // search now costs the same as a steady one (measured 0.84 s
+            // vs 0.75–0.86 s steady at 200k+5×10k). Deliberately
+            // SEQUENTIAL: overlapping these jobs from a pool was tried
+            // and reverted — under FIFO scheduling the parallel warm
+            // hogs executor slots exactly when a zero-gap search races
+            // it (measured zerogap q1 2.6 → 2.9 s).
             e.warmPlans()
             // materialize the delta relation caches (delta-sized jobs;
             // idempotent — in-memory hits after the first build)

