@@ -133,6 +133,17 @@ final class LucyStore(spark: SparkSession, rootDir: String,
           warmQueued.set(false) // before the work: a mutation mid-warm re-queues
           try {
             val e = engine
+            // Stale-warm bail (r7 wave 3): during a burst of puts, each
+            // put invalidates the engine the PREVIOUS put's warm is still
+            // working on — finishing that stale warm (composite stats
+            // probe + pruned plan probes for a view that no longer
+            // serves) competes with the next put's own jobs for executor
+            // slots under FIFO scheduling. A mutation that supersedes
+            // this view has already re-queued a warm (invalidate →
+            // warmAsync CAS), so bailing loses nothing: the queued warm
+            // redoes the work against the live view. Checked between
+            // steps, not mid-job — jobs themselves are delta-sized.
+            def current = engineCache.contains(e)
             // composite corpus stats, then the relation-level one-time
             // costs (file listing, parquet footers, union-plan analysis)
             // via pruned no-data probes — r7, VERDICT r6 next-round #4:
@@ -143,10 +154,12 @@ final class LucyStore(spark: SparkSession, rootDir: String,
             // and reverted — under FIFO scheduling the parallel warm
             // hogs executor slots exactly when a zero-gap search races
             // it (measured zerogap q1 2.6 → 2.9 s).
-            e.warmPlans()
+            if (current) e.warmPlans()
             // materialize the delta relation caches (delta-sized jobs;
-            // idempotent — in-memory hits after the first build)
-            warmedParts.values.flatten.foreach(_.count())
+            // idempotent — in-memory hits after the first build; these
+            // stay valid across mutations, so they are only skipped when
+            // a newer warm is queued to pick them up)
+            warmedParts.values.flatten.foreach(ds => if (current) ds.count())
           } catch {
             case ex if scala.util.control.NonFatal(ex) =>
               // VERDICT r6 what's-wrong #1: a persistent warm failure
